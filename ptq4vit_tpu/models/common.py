@@ -1,0 +1,103 @@
+"""Functional building blocks shared by the ViT / DeiT / Swin forwards.
+
+Design: the reference reifies quantizable ops as nn.Module children so they
+can be swapped and hooked (utils/models.py:58-87, utils/net_wrap.py:39-81 in
+hahnyuan/PTQ4ViT).  The TPU-native equivalent is a :class:`QuantCtx` the
+forward threads through every quantizable op call-site:
+
+  * ``qstate[name] is None``  -> raw FP32 op (reference mode "raw");
+  * ``qstate[name]`` is a QP pytree -> fake-quant op (mode "quant_forward");
+  * ``capture=True``          -> record (inputs, out) per op in ``ctx.taps``
+                                 (replaces forward hooks);
+  * ``eps[name]``             -> zero tensor added to the op output, whose
+                                 cotangent under jax.grad is exactly
+                                 ∂loss/∂(op output) — replaces
+                                 register_backward_hook (quant_calib.py:173).
+
+Ops are keyed by their timm module path (e.g. ``blocks.0.attn.qkv``) so
+configs, export, and golden tests line up with reference checkpoints.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..quant.qparams import apply_linear, apply_matmul
+
+
+class QuantCtx:
+    """Per-forward context carrying quantization state / taps / grad probes."""
+
+    def __init__(self,
+                 qstate: Optional[Dict[str, Any]] = None,
+                 eps: Optional[Dict[str, Any]] = None,
+                 capture: bool = False):
+        self.qstate = qstate or {}
+        self.eps = eps
+        self.capture = capture
+        self.taps: Dict[str, Dict[str, Any]] = {}
+
+    def _post(self, name, out, tap):
+        if self.eps is not None and name in self.eps:
+            out = out + self.eps[name]
+        if self.capture:
+            tap["out"] = out
+            self.taps[name] = tap
+        return out
+
+    def linear(self, name, x, w, b):
+        """Quantizable linear; tap records input and output
+        (reference linear_forward_hook, quant_calib.py:178)."""
+        out = apply_linear(x, w, b, self.qstate.get(name))
+        return self._post(name, out, {"kind": "linear", "x": x})
+
+    def matmul(self, name, a, b):
+        """Quantizable A@B; tap records both operands
+        (reference matmul_forward_hook, quant_calib.py:194)."""
+        out = apply_matmul(a, b, self.qstate.get(name))
+        return self._post(name, out, {"kind": "matmul", "a": a, "b": b})
+
+    def conv2d_patch(self, name, x, w, b, patch: int):
+        """Quantizable non-overlapping patch-embedding conv (stride ==
+        kernel), computed as patchify + matmul so it rides the MXU.
+
+        x: (B, C, H, W) NCHW (reference layout); w: (oc, ic, p, p) OIHW.
+        Returns (out_tokens (B, nh*nw, oc), (nh, nw)).  The tap records the
+        conv-layout output (B, oc, nh, nw) for parity with the reference's
+        conv hooks (quant_calib.py:186).
+        """
+        qp = self.qstate.get(name)
+        if qp is not None:
+            w = qp.quant_weight(w)
+            x = qp.quant_input(x)
+        B, C, H, W = x.shape
+        oc = w.shape[0]
+        nh, nw = H // patch, W // patch
+        # (B,C,nh,p,nw,p) -> (B,nh,nw,C,p,p) -> (B, N, C*p*p): patch vector
+        # ordering matches w.reshape(oc, ic*p*p)
+        xp = x.reshape(B, C, nh, patch, nw, patch)
+        xp = xp.transpose(0, 2, 4, 1, 3, 5).reshape(B, nh * nw, C * patch * patch)
+        out = jnp.matmul(xp, w.reshape(oc, -1).T,
+                         preferred_element_type=jnp.float32)
+        if b is not None:
+            out = out + b
+        if self.eps is not None and name in self.eps:
+            out = out + self.eps[name]
+        if self.capture:
+            out_img = out.reshape(B, nh, nw, oc).transpose(0, 3, 1, 2)
+            self.taps[name] = {"kind": "conv", "x": x, "out": out_img,
+                               "patch": patch}
+        return out, (nh, nw)
+
+
+def layer_norm(x, weight, bias, eps: float):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * weight + bias
+
+
+def gelu(x):
+    """Exact (erf) GELU, matching torch nn.GELU default."""
+    return jax.nn.gelu(x, approximate=False)
