@@ -1,0 +1,147 @@
+"""Calibration data capture: per-op FP32 inputs, outputs, and output
+gradients in ONE forward+backward per micro-batch.
+
+Replaces the reference's hook machinery (quant_calib.py:173-201 in
+hahnyuan/PTQ4ViT) and — crucially — its **per-module** full-net passes: the
+reference re-runs the whole network once per quantizable module
+(quant_calib.py:316-341, ~50-200 full fwd+bwd over the calib set per model);
+here a single pass captures every tap at once because the parallel paradigm
+keeps the whole net FP32 during capture.  This is the main source of the
+TPU calibration-time win.
+
+Gradient capture ("hessian" metric).  The reference computes
+``loss = KL(log_softmax(pred) ‖ raw_pred_softmax)`` and backprops
+(quant_calib.py:332-341).  In parallel mode the net is FP32 during capture,
+so ``pred == raw_pred`` up to kernel-scheduling noise and the analytic
+gradient ``(softmax(pred) - target)/B`` is ~zero: the useful signal the
+reference actually harvests is ``Jᵀ·ε`` for hardware float noise ε — an
+inadvertent one-sample Hutchinson probe of the Gauss-Newton diagonal
+(E[(Jᵀε)_j²] ∝ (JᵀJ)_jj).  On TPU the same computation would be exactly
+zero, so this module makes the probe explicit and deterministic: the target
+distribution is ``softmax(logits + σ·u)`` with seeded gaussian u.  The
+hessian similarity ``-(g·(raw-sim))²`` is scale-invariant in g across
+candidates, so σ only needs to stay in the linear regime.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TAP_FIELDS = {"linear": ("x",), "conv": ("x",), "matmul": ("a", "b")}
+
+
+@dataclasses.dataclass
+class OpCapture:
+    """Host-side raw calibration data of one op (reference raw_input /
+    raw_out / raw_grad caches, quant_calib.py:343-354)."""
+    kind: str
+    inputs: Dict[str, np.ndarray]   # linear/conv: {"x"}; matmul: {"a","b"}
+    out: np.ndarray
+    grad: Optional[np.ndarray] = None
+
+
+def _kl_batchmean(logits, target):
+    """torch F.kl_div(log_softmax(logits), target, reduction="batchmean")."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    logt = jnp.log(jnp.maximum(target, 1e-30))
+    return jnp.sum(target * (logt - logp)) / logits.shape[0]
+
+
+def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
+            need_grad: bool = True, probe_seed: int = 3,
+            probe_sigma: float = 1e-3,
+            ops: Optional[Sequence[str]] = None) -> Dict[str, OpCapture]:
+    """Run the capture pass over the calibration set.
+
+    net: models.registry.Net;  calib_x: (num, 3, H, W) float32 host array.
+    batch_size: micro-batch size (reference HessianQuantCalibrator
+       batch_size, quant_calib.py:334).
+    need_grad: also capture ∂KL/∂(op output) per tap (hessian metric).
+    probe_sigma: σ of the logit-space probe; 0.0 reproduces the reference's
+       analytically-zero gradient (useful only for debugging).
+    ops: subset of op names to capture (default: all quantizable ops).
+
+    Returns {op name: OpCapture} with float32 numpy arrays whose leading axis
+    is the calibration-sample axis (for Swin matmuls: samples × windows,
+    matching the reference's cache-concat semantics, quant_calib.py:350).
+    """
+    params, cfg, fwd = net.params, net.cfg, net.forward
+    num = calib_x.shape[0]
+    if num % batch_size != 0:
+        batch_size = next(b for b in range(min(batch_size, num), 0, -1)
+                          if num % b == 0)
+    names = [n for n, _ in net.op_inventory]
+    if ops is not None:
+        names = [n for n in names if n in set(ops)]
+    name_set = set(names)
+
+    # ---- target pass: raw logits over the calib set (quant_calib.py:309)
+    logits_fn = jax.jit(lambda p, x: fwd(p, x, cfg))
+    raw_logits = np.concatenate([
+        np.asarray(logits_fn(params, jnp.asarray(calib_x[s:s + batch_size])))
+        for s in range(0, num, batch_size)], axis=0)
+
+    if need_grad:
+        u = jax.random.normal(jax.random.PRNGKey(probe_seed),
+                              raw_logits.shape, jnp.float32)
+        target_all = np.asarray(
+            jax.nn.softmax(jnp.asarray(raw_logits) + probe_sigma * u, axis=-1))
+    else:
+        target_all = None
+
+    # ---- eps skeleton from tap output shapes (static)
+    xb_spec = jax.ShapeDtypeStruct((batch_size,) + calib_x.shape[1:],
+                                   jnp.float32)
+    _, tap_shapes = jax.eval_shape(
+        lambda p, x: fwd(p, x, cfg, capture=True), params, xb_spec)
+    eps_zeros = {n: jnp.zeros(tap_shapes[n]["out"].shape, jnp.float32)
+                 for n in names}
+
+    if need_grad:
+        def step(p, xb, tb):
+            def loss_fn(eps):
+                logits, taps = fwd(p, xb, cfg, eps=eps, capture=True)
+                taps = {n: taps[n] for n in name_set}
+                return _kl_batchmean(logits, tb), taps
+            (_, taps), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(eps_zeros)
+            return taps, grads
+    else:
+        def step(p, xb, tb):
+            _, taps = fwd(p, xb, cfg, capture=True)
+            return {n: taps[n] for n in name_set}, None
+    step = jax.jit(step)
+
+    kinds = {}
+    for n, mtype in net.op_inventory:
+        kinds[n] = ("conv" if mtype == "qconv"
+                    else "matmul" if "qmatmul" in mtype else "linear")
+
+    chunks: Dict[str, List[Dict[str, np.ndarray]]] = {n: [] for n in names}
+    for s in range(0, num, batch_size):
+        xb = jnp.asarray(calib_x[s:s + batch_size])
+        tb = (jnp.asarray(target_all[s:s + batch_size])
+              if need_grad else None)
+        taps, grads = jax.device_get(step(params, xb, tb))
+        for n in names:
+            rec = {k: taps[n][k] for k in TAP_FIELDS[kinds[n]]}
+            rec["out"] = taps[n]["out"]
+            if grads is not None:
+                rec["grad"] = grads[n]
+            chunks[n].append(rec)
+
+    result: Dict[str, OpCapture] = {}
+    for n in names:
+        kind = kinds[n]
+        result[n] = OpCapture(
+            kind=kind,
+            inputs={k: np.concatenate([c[k] for c in chunks[n]], axis=0)
+                    for k in TAP_FIELDS[kind]},
+            out=np.concatenate([c["out"] for c in chunks[n]], axis=0),
+            grad=(np.concatenate([c["grad"] for c in chunks[n]], axis=0)
+                  if need_grad else None))
+    return result

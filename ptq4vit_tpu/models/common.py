@@ -51,22 +51,26 @@ class QuantCtx:
         """Quantizable linear; tap records input and output
         (reference linear_forward_hook, quant_calib.py:178)."""
         out = apply_linear(x, w, b, self.qstate.get(name))
-        return self._post(name, out, {"kind": "linear", "x": x})
+        return self._post(name, out, {"x": x})
 
     def matmul(self, name, a, b):
         """Quantizable A@B; tap records both operands
         (reference matmul_forward_hook, quant_calib.py:194)."""
         out = apply_matmul(a, b, self.qstate.get(name))
-        return self._post(name, out, {"kind": "matmul", "a": a, "b": b})
+        return self._post(name, out, {"a": a, "b": b})
 
     def conv2d_patch(self, name, x, w, b, patch: int):
         """Quantizable non-overlapping patch-embedding conv (stride ==
         kernel), computed as patchify + matmul so it rides the MXU.
 
         x: (B, C, H, W) NCHW (reference layout); w: (oc, ic, p, p) OIHW.
-        Returns (out_tokens (B, nh*nw, oc), (nh, nw)).  The tap records the
-        conv-layout output (B, oc, nh, nw) for parity with the reference's
-        conv hooks (quant_calib.py:186).
+        Returns (out_tokens (B, nh*nw, oc), (nh, nw)).
+
+        The tap records the patchified input (B, N, ic*p*p) and the token
+        output (B, N, oc): elementwise quantization and the similarity
+        reductions are layout-invariant, so this is equivalent to the
+        reference's NCHW conv caches (quant_calib.py:186) while keeping the
+        search a pure matmul on the MXU.
         """
         qp = self.qstate.get(name)
         if qp is not None:
@@ -83,12 +87,7 @@ class QuantCtx:
                          preferred_element_type=jnp.float32)
         if b is not None:
             out = out + b
-        if self.eps is not None and name in self.eps:
-            out = out + self.eps[name]
-        if self.capture:
-            out_img = out.reshape(B, nh, nw, oc).transpose(0, 3, 1, 2)
-            self.taps[name] = {"kind": "conv", "x": x, "out": out_img,
-                               "patch": patch}
+        out = self._post(name, out, {"x": xp})
         return out, (nh, nw)
 
 

@@ -74,15 +74,13 @@ def test_vit_capture_taps_match_inventory():
     assert logits.shape == (1, 1000)
     names = [n for n, _ in net.op_inventory]
     assert set(names) == set(taps.keys())
-    # kinds consistent
+    # tap fields consistent with op kind
     for name, mtype in net.op_inventory:
-        kind = taps[name]["kind"]
-        if mtype == "qconv":
-            assert kind == "conv"
-        elif "matmul" in mtype:
-            assert kind == "matmul"
+        fields = set(taps[name].keys())
+        if "qmatmul" in mtype:
+            assert fields == {"a", "b", "out"}
         else:
-            assert kind == "linear"
+            assert fields == {"x", "out"}
 
 
 # ---------------------------------------------------------------------------
