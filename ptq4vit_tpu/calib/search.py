@@ -1,0 +1,704 @@
+"""Batched scale-factor candidate search — the calibration hot path.
+
+Reference semantics: PTQSLBatchingQuantLinear / PostGeluPTQSLBatchingQuantLinear
+(quant_layers/linear.py:349-642), PTQSLBatchingQuantMatMul /
+SoSPTQSLBatchingQuantMatMul (quant_layers/matmul.py:390-644),
+ChannelwiseBatchingQuantConv2d / BatchingEasyQuantConv2d
+(quant_layers/conv.py:279-614 in hahnyuan/PTQ4ViT).
+
+TPU-native design:
+  * the whole per-layer search (interval init + search_round × alternating
+    weight/input searches) is ONE jitted function — no host round-trips
+    between candidate batches, XLA pipelines quantize→matmul→reduce;
+  * candidate and calibration-batch chunking are `lax.scan`s with statically
+    chosen chunk sizes from a byte budget (replaces the reference's dynamic
+    `parallel_eq_n`/`calib_batch_size` halving loops, linear.py:365-378 —
+    chunk sizes don't affect results, only memory);
+  * block-position loops (h / a / (v,h)) are `fori_loop`s with one-hot
+    masks instead of per-position retraces.
+
+Parity notes:
+  * the candidate grid has eq_n+1 entries but only the first eq_n are scored
+    (reference off-by-one, linear.py:466) — reproduced;
+  * per-batch similarities are summed, then argmax (first max wins on ties,
+    matching torch.argmax), linear.py:487-492;
+  * pearson uses full-batch statistics (the reference's batch-chunk-local
+    means, linear.py:426-453, depend on its memory heuristic; unused by the
+    shipped configs).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.policy import OpPolicy
+from ..quant import fakequant as fq
+from ..quant.metrics import cosine_similarity
+from ..quant.qparams import ConvQP, LinearQP, MatMulQP
+
+DEFAULT_BUDGET = 2 << 30  # bytes of out_sim scratch per candidate chunk
+
+
+# ---------------------------------------------------------------------------
+# chunk planning (static)
+# ---------------------------------------------------------------------------
+
+def plan_chunks(eq_n: int, samples: int, out_elems_per_sample_candidate: int,
+                budget: int = DEFAULT_BUDGET):
+    """Pick static (candidate_chunk P, batch_chunk bs).  bytes ≈
+    bs * P * out_elems * 4 <= budget, preferring P big."""
+    per_cand = samples * out_elems_per_sample_candidate * 4
+    P = int(max(1, min(eq_n, budget // max(per_cand, 1))))
+    bs = samples
+    while P < 2 and bs > 1:
+        bs = (bs + 1) // 2
+        per_cand = bs * out_elems_per_sample_candidate * 4
+        P = int(max(1, min(eq_n, budget // max(per_cand, 1))))
+    while samples % bs != 0:   # keep exact chunking
+        bs -= 1
+    return P, bs
+
+
+def _pad_chunk_candidates(cands, P: int):
+    """(eq_n, ...) -> (nc, P, ...) zero-padded (padding scored then sliced
+    off before argmax)."""
+    eq_n = cands.shape[0]
+    nc = -(-eq_n // P)
+    pad = nc * P - eq_n
+    if pad:
+        cands = jnp.concatenate(
+            [cands, jnp.broadcast_to(cands[-1:], (pad,) + cands.shape[1:])], 0)
+    return cands.reshape((nc, P) + cands.shape[1:])
+
+
+def _chunk_batch(x, bs: int):
+    """(S, ...) -> (nb, bs, ...)."""
+    return x.reshape((x.shape[0] // bs, bs) + x.shape[1:])
+
+
+# ---------------------------------------------------------------------------
+# similarity reductions
+# ---------------------------------------------------------------------------
+
+def _feature_similarity(raw, sim, metric: str, raw_grad, axis: int):
+    """Metric along ``axis`` -> reduced along it (reference
+    _get_similarity, linear.py:399-424)."""
+    if metric == "cosine":
+        return cosine_similarity(raw, sim, axis=axis)
+    if metric == "L1_norm":
+        s = -jnp.abs(raw - sim)
+    elif metric == "L2_norm":
+        s = -((raw - sim) ** 2)
+    elif metric == "linear_weighted_L2_norm":
+        s = -jnp.abs(raw) * (raw - sim) ** 2
+    elif metric == "square_weighted_L2_norm":
+        s = -((raw * (raw - sim)) ** 2)
+    elif metric == "hessian":
+        s = -((raw_grad * (raw - sim)) ** 2)
+    else:
+        raise NotImplementedError(f"metric {metric} not implemented!")
+    return jnp.mean(s, axis=axis)
+
+
+def _quant_act_linear(x, a_interval, a_neg_interval, policy: OpPolicy):
+    """Grouped (or twin post-GELU) input fake-quant with current intervals."""
+    qmax = fq.qmax_for_bit(policy.a_bit)
+    if policy.quantizer == "postgelu_linear":
+        return fq.twin_quant_post_gelu(x, a_interval, a_neg_interval, qmax)
+    return fq.fake_quant_act_grouped(x, a_interval, qmax)
+
+
+# ---------------------------------------------------------------------------
+# linear search
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("policy", "P", "bs"))
+def _linear_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
+                       P: int, bs: int):
+    """Full calibration_step2 of a linear layer (reference linear.py:536-555
+    semantics) as one compiled program.
+
+    x: (S, T, ic) — middle dims pre-flattened to one token axis (mean over
+    it equals the reference's mean over all middle dims); raw_out/raw_grad:
+    (S, T, oc).
+    """
+    S, T, ic = x.shape
+    oc = raw_out.shape[-1]
+    n_V, n_H, n_a = policy.n_V, policy.n_H, policy.n_a
+    crb_r, crb_c, crb_a = oc // n_V, ic // n_H, ic // n_a
+    w_qmax = fq.qmax_for_bit(policy.w_bit)
+    a_qmax = fq.qmax_for_bit(policy.a_bit)
+    postgelu = policy.quantizer == "postgelu_linear"
+    a_neg = (jnp.float32(fq.GELU_NEG_CLIP / a_qmax) if postgelu else None)
+    if raw_grad is None:
+        raw_grad = jnp.zeros((1, 1, 1), jnp.float32)  # unused placeholder
+
+    # ---- interval init (linear.py:380-397, :576-599)
+    if policy.init_layerwise:
+        w_int0 = jnp.broadcast_to(fq.minmax_interval(w, w_qmax)
+                                  .reshape(1, 1, 1, 1), (n_V, 1, n_H, 1))
+        xg = fq.grouped_act_view(x, n_a)
+        v = jnp.abs(xg) if not postgelu else xg
+        a_int0 = jnp.broadcast_to(
+            (jnp.max(v) / (a_qmax - 0.5)).reshape(1, 1), (n_a, 1))
+    else:
+        w_int0 = fq.blocked_weight_interval_init(w, n_V, n_H, w_qmax)
+        a_int0 = fq.grouped_act_interval_init(x, n_a, a_qmax,
+                                              signed=not postgelu)
+
+    grid = fq.candidate_grid(policy.eq_alpha, policy.eq_beta, policy.eq_n)
+    eq_n = policy.eq_n  # only the first eq_n searched (linear.py:466)
+    w_cands = grid[:eq_n, None, None, None, None] * w_int0[None]
+    a_cands = grid[:eq_n, None, None] * a_int0[None]     # (eq_n, n_a, 1)
+    w_cands_c = _pad_chunk_candidates(w_cands, P)         # nc,P,n_V,1,n_H,1
+    a_cands_c = _pad_chunk_candidates(a_cands, P)         # nc,P,n_a,1
+
+    xb = _chunk_batch(x, bs)
+    rb = _chunk_batch(raw_out, bs)
+    gb = (_chunk_batch(raw_grad, bs) if policy.metric == "hessian"
+          else jnp.zeros((xb.shape[0], 1, 1, 1), jnp.float32))
+
+    w4 = fq.blocked_weight_view(w, n_V, n_H)              # n_V,crb_r,n_H,crb_c
+
+    def score_w(w_int, a_int, h):
+        """Summed similarities (eq_n, n_V) of candidate intervals for
+        weight column-block h (linear.py:455-495)."""
+        x_sim_all = _chunk_batch(
+            _quant_act_linear(x, a_int, a_neg, policy), bs)
+        mask_h = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, n_H, 1), 3)
+                  == h)
+
+        def cand_body(_, wc):                              # wc: P,n_V,1,n_H,1
+            cur = jnp.where(mask_h, wc, w_int[None])
+            w_sim = fq.int_quant(w4[None], cur[:, :, :, :, None]
+                                 .reshape(P, n_V, 1, n_H, 1), w_qmax)
+            w_sim = (w_sim * cur.reshape(P, n_V, 1, n_H, 1)).reshape(P, oc, ic)
+
+            def batch_body(acc, inp):
+                x_s, r_s, g_s = inp
+                out = jnp.einsum("bti,poi->btpo", x_s, w_sim,
+                                 preferred_element_type=jnp.float32)
+                if b is not None:
+                    out = out + b
+                outc = out.reshape(bs, T, P, n_V, crb_r)
+                rawc = r_s.reshape(bs, T, 1, n_V, crb_r)
+                if policy.metric == "pearson":
+                    sim = _pearson_w(rawc, outc)          # (bs, P, n_V)
+                else:
+                    gc = (g_s.reshape(bs, T, 1, n_V, crb_r)
+                          if policy.metric == "hessian" else None)
+                    sim = _feature_similarity(rawc, outc, policy.metric,
+                                              gc, axis=-1)  # bs,T,P,n_V
+                    sim = jnp.mean(sim, axis=1)           # bs,P,n_V
+                return acc + jnp.sum(sim, axis=0), None
+
+            s, _ = jax.lax.scan(batch_body, jnp.zeros((P, n_V)),
+                                (x_sim_all, rb, gb))
+            return None, s
+
+        _, sims = jax.lax.scan(cand_body, None, w_cands_c)
+        return sims.reshape(-1, n_V)[:eq_n]
+
+    def score_a(w_int, a_int, a):
+        """Summed similarities (eq_n,) of candidate intervals for input
+        group a (linear.py:497-533, :609-642)."""
+        w_sim = fq.fake_quant_weight_blocked(w, w_int, w_qmax)
+        mask_a = (jax.lax.broadcasted_iota(jnp.int32, (1, n_a, 1), 1) == a)
+
+        def cand_body(_, ac):                              # ac: P,n_a,1
+            cur = jnp.where(mask_a, ac, a_int[None])       # P,n_a,1
+
+            def batch_body(acc, inp):
+                x_s, r_s, g_s = inp
+                xg = fq.grouped_act_view(x_s, n_a)         # bs,T,n_a,crb_a
+                xq = xg[:, :, None] / cur[None, None]      # bs,T,P,n_a,crb_a
+                if postgelu:
+                    xp = jnp.clip(jnp.round(xq), 0, a_qmax - 1) \
+                        * cur[None, None]
+                    xn = jnp.clip(jnp.round(xg / a_neg), -a_qmax, 0) * a_neg
+                    x_sim = xp + xn[:, :, None]
+                else:
+                    x_sim = jnp.clip(jnp.round(xq), -a_qmax, a_qmax - 1) \
+                        * cur[None, None]
+                x_sim = x_sim.reshape(bs, T, P, ic)
+                out = jnp.einsum("btpi,oi->btpo", x_sim, w_sim,
+                                 preferred_element_type=jnp.float32)
+                if b is not None:
+                    out = out + b
+                raw = r_s[:, :, None]                      # bs,T,1,oc
+                if policy.metric == "pearson":
+                    sim = _pearson_a(raw, out)             # (bs, P)
+                else:
+                    gc = (g_s[:, :, None] if policy.metric == "hessian"
+                          else None)
+                    sim = _feature_similarity(raw, out, policy.metric, gc,
+                                              axis=-1)     # bs,T,P
+                    sim = jnp.mean(sim, axis=1)            # bs,P
+                return acc + jnp.sum(sim, axis=0), None
+
+            s, _ = jax.lax.scan(batch_body, jnp.zeros((P,)),
+                                (xb, rb, gb))
+            return None, s
+
+        _, sims = jax.lax.scan(cand_body, None, a_cands_c)
+        return sims.reshape(-1)[:eq_n]
+
+    def round_body(_, carry):
+        w_int, a_int = carry
+
+        def h_body(h, w_int):
+            sims = score_w(w_int, a_int, h)                # eq_n, n_V
+            best = jnp.argmax(sims, axis=0)                # n_V
+            chosen = jnp.take_along_axis(
+                w_cands[:, :, 0, :, 0], best[None, :, None], axis=0)[0]
+            # chosen: (n_V, n_H); splice column h
+            mask_h = (jax.lax.broadcasted_iota(
+                jnp.int32, (n_V, 1, n_H, 1), 2) == h)
+            return jnp.where(mask_h, chosen[:, None, :, None], w_int)
+
+        w_int = jax.lax.fori_loop(0, n_H, h_body, w_int)
+
+        def a_body(a, a_int):
+            sims = score_a(w_int, a_int, a)                # eq_n
+            best = jnp.argmax(sims)
+            chosen = a_cands[best]                         # n_a,1
+            mask_a = (jax.lax.broadcasted_iota(
+                jnp.int32, (n_a, 1), 0) == a)
+            return jnp.where(mask_a, chosen, a_int)
+
+        a_int = jax.lax.fori_loop(0, n_a, a_body, a_int)
+        return w_int, a_int
+
+    w_int, a_int = jax.lax.fori_loop(0, policy.search_round, round_body,
+                                     (w_int0, a_int0))
+    return w_int, a_int
+
+
+def _pearson_w(raw, sim):
+    """Reference _get_pearson_w (linear.py:426-439) with full-batch means.
+    raw: (bs,T,1,n_V,crb); sim: (bs,T,P,n_V,crb) -> (bs,P,n_V)."""
+    bs, T, P, n_V, crb = sim.shape
+    s = sim.transpose(0, 1, 4, 3, 2).reshape(bs, T * crb, n_V, P)
+    r = raw.transpose(0, 1, 4, 3, 2).reshape(bs, T * crb, n_V, 1)
+    s = s - jnp.mean(s, axis=(0, 1), keepdims=True)
+    r = r - jnp.mean(r, axis=(0, 1), keepdims=True)
+    c = cosine_similarity(r, s, axis=1)                    # bs,n_V,P
+    return c.transpose(0, 2, 1)
+
+
+def _pearson_a(raw, sim):
+    """Reference _get_pearson_a (linear.py:441-453). raw: (bs,T,1,oc);
+    sim: (bs,T,P,oc) -> (bs,P)."""
+    bs, T, P, oc = sim.shape
+    s = sim.transpose(0, 1, 3, 2).reshape(bs, T * oc, P)
+    r = raw.transpose(0, 1, 3, 2).reshape(bs, T * oc, 1)
+    s = s - jnp.mean(s, axis=(0, 1), keepdims=True)
+    r = r - jnp.mean(r, axis=(0, 1), keepdims=True)
+    return cosine_similarity(r, s, axis=1)
+
+
+def search_linear(w, b, cap, policy: OpPolicy,
+                  budget: int = DEFAULT_BUDGET) -> LinearQP:
+    """Calibrate a linear op from captured raw data."""
+    x = np.asarray(cap.inputs["x"], np.float32)
+    raw_out = np.asarray(cap.out, np.float32)
+    S, ic = x.shape[0], x.shape[-1]
+    oc = raw_out.shape[-1]
+    T = int(np.prod(x.shape[1:-1])) if x.ndim > 2 else 1
+    x = x.reshape(S, T, ic)
+    raw_out = raw_out.reshape(S, T, oc)
+    grad = (np.asarray(cap.grad, np.float32).reshape(S, T, oc)
+            if policy.metric == "hessian" else None)
+    P, bs = plan_chunks(policy.eq_n, S, T * oc, budget)
+    w_int, a_int = _linear_search_jit(
+        jnp.asarray(w), None if b is None else jnp.asarray(b),
+        jnp.asarray(x), jnp.asarray(raw_out),
+        None if grad is None else jnp.asarray(grad), policy, P, bs)
+    postgelu = policy.quantizer == "postgelu_linear"
+    a_qmax = fq.qmax_for_bit(policy.a_bit)
+    return LinearQP(
+        w_interval=w_int, a_interval=a_int,
+        a_neg_interval=(jnp.float32(fq.GELU_NEG_CLIP / a_qmax)
+                        if postgelu else None),
+        w_bit=policy.w_bit, a_bit=policy.a_bit, postgelu=postgelu)
+
+
+# ---------------------------------------------------------------------------
+# matmul search
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("policy", "P", "bs", "n_G"))
+def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
+                       P: int, bs: int, n_G: int):
+    """Full calibration_step2 of an A@B op (reference matmul.py:565-576).
+    Head-wise groups: n_G_A = n_G_B = heads (matmul.py:411-417); the shipped
+    configs use n_V=n_H=1 so block grids collapse and no padding occurs.
+
+    A: (S,G,R,Ci); B: (S,G,Ci,Co); raw_out/raw_grad: (S,G,R,Co).
+    """
+    S, G, R, Ci = A.shape
+    Co = B.shape[-1]
+    sos = policy.quantizer == "sos_matmul"
+    A_qmax = fq.qmax_for_bit(policy.a_bit)
+    B_qmax = fq.qmax_for_bit(policy.b_bit)
+    if raw_grad is None:
+        raw_grad = jnp.zeros((1, 1, 1, 1), jnp.float32)
+
+    # interval shapes (1,n_G,1,n_V,1,n_H,1) with n_V=n_H=1, n_G=G
+    def init_interval(x, qmax):
+        if policy.init_layerwise:
+            return jnp.broadcast_to(
+                (jnp.max(jnp.abs(x)) / (qmax - 0.5)).reshape(1, 1, 1, 1, 1, 1, 1),
+                (1, n_G, 1, 1, 1, 1, 1))
+        return fq.matmul_operand_interval_init(x, n_G, 1, 1, qmax)
+
+    B_int0 = init_interval(B, B_qmax)
+    if sos:
+        split0 = jnp.float32(0.01)                         # matmul.py:354
+        A_int0 = None
+    else:
+        A_int0 = init_interval(A, A_qmax)
+        split0 = None
+
+    grid = fq.candidate_grid(policy.eq_alpha, policy.eq_beta, policy.eq_n)
+    eq_n = policy.eq_n
+    B_cands = grid[:eq_n].reshape(-1, 1, 1, 1, 1, 1, 1, 1) * B_int0[None]
+    B_cands_c = _pad_chunk_candidates(B_cands, P)
+    if not sos:
+        A_cands = grid[:eq_n].reshape(-1, 1, 1, 1, 1, 1, 1, 1) * A_int0[None]
+        A_cands_c = _pad_chunk_candidates(A_cands, P)
+    splits = fq.sos_split_grid(20)                         # matmul.py:636
+
+    Ab = _chunk_batch(A, bs)
+    Bb = _chunk_batch(B, bs)
+    rb = _chunk_batch(raw_out, bs)
+    gb = (_chunk_batch(raw_grad, bs) if policy.metric == "hessian"
+          else jnp.zeros((Ab.shape[0], 1, 1, 1, 1), jnp.float32))
+
+    def quant_A(a, a_state):
+        if sos:
+            return fq.sos_quant_softmax(a, a_state, A_qmax)
+        return fq.fake_quant_matmul_operand(a, a_state, A_qmax)
+
+    def _sim_reduce(out, r_s, g_s):
+        """(P,bs,G,R,Co) -> (P, G) per-head summed similarity
+        (matmul.py:510-518)."""
+        raw = r_s[None]
+        gc = g_s[None] if policy.metric == "hessian" else None
+        if policy.metric == "pearson":
+            ra = raw - jnp.mean(raw, axis=-1, keepdims=True)
+            sa = out - jnp.mean(out, axis=-1, keepdims=True)
+            sim = cosine_similarity(ra, sa, axis=-1)
+        else:
+            sim = _feature_similarity(raw, out, policy.metric, gc, axis=-1)
+        sim = jnp.mean(sim, axis=3)                        # P,bs,G
+        return jnp.sum(sim, axis=1)                        # P,G
+
+    def score_A(a_state, B_int):
+        """(eq_n, G) summed sims of A-interval candidates
+        (matmul.py:483-522); SoS scores split candidates instead
+        (matmul.py:600-631, B left unquantized there)."""
+        if sos:
+            def cand_body(_, sp):                          # scalar split
+                def batch_body(acc, inp):
+                    a_s, b_s, r_s, g_s = inp
+                    A_sim = fq.sos_quant_softmax(a_s, sp, A_qmax)
+                    out = jnp.einsum("bgrc,bgco->bgro", A_sim, b_s,
+                                     preferred_element_type=jnp.float32)
+                    raw = r_s
+                    gc = g_s if policy.metric == "hessian" else None
+                    sim = _feature_similarity(raw, out, policy.metric, gc,
+                                              axis=-1)     # bs,G,R
+                    sim = jnp.mean(sim, axis=(1, 2))       # bs  (matmul.py:620)
+                    return acc + jnp.sum(sim), None
+                s, _ = jax.lax.scan(batch_body, jnp.float32(0.0),
+                                    (Ab, Bb, rb, gb))
+                return None, s
+            _, sims = jax.lax.scan(cand_body, None, splits)
+            return sims                                    # (20,)
+
+        B_simb = jax.vmap(lambda b_s: fq.fake_quant_matmul_operand(
+            b_s, B_int, B_qmax))(Bb)
+
+        def cand_body(_, ac):                              # P,1,n_G,1,1,1,1,1
+            cur = ac                                       # n_V=n_H=1: whole
+            def batch_body(acc, inp):
+                a_s, b_s, r_s, g_s = inp
+                blocked = a_s.reshape(1, bs, n_G, G // n_G, R, Ci)
+                q = jnp.clip(jnp.round(
+                    blocked / cur.reshape(P, 1, n_G, 1, 1, 1)),
+                    -A_qmax, A_qmax - 1) * cur.reshape(P, 1, n_G, 1, 1, 1)
+                A_sim = q.reshape(P, bs, G, R, Ci)
+                out = jnp.einsum("pbgrc,bgco->pbgro", A_sim, b_s,
+                                 preferred_element_type=jnp.float32)
+                return acc + _sim_reduce(out, r_s, g_s), None
+            s, _ = jax.lax.scan(batch_body, jnp.zeros((P, G)),
+                                (Ab, B_simb, rb, gb))
+            return None, s
+        _, sims = jax.lax.scan(cand_body, None, A_cands_c)
+        sims = sims.reshape(-1, G)[:eq_n]
+        return sims.reshape(eq_n, n_G, G // n_G).mean(-1)  # eq_n, n_G
+
+    def score_B(a_state, B_int):
+        """(eq_n, n_G) summed sims of B-interval candidates
+        (matmul.py:524-563)."""
+        A_simb = jax.vmap(lambda a_s: quant_A(a_s, a_state))(Ab)
+
+        def cand_body(_, bc):
+            cur = bc
+            def batch_body(acc, inp):
+                a_s, b_s, r_s, g_s = inp
+                blocked = b_s.reshape(1, bs, n_G, G // n_G, Ci, Co)
+                q = jnp.clip(jnp.round(
+                    blocked / cur.reshape(P, 1, n_G, 1, 1, 1)),
+                    -B_qmax, B_qmax - 1) * cur.reshape(P, 1, n_G, 1, 1, 1)
+                B_sim = q.reshape(P, bs, G, Ci, Co)
+                out = jnp.einsum("bgrc,pbgco->pbgro", a_s, B_sim,
+                                 preferred_element_type=jnp.float32)
+                return acc + _sim_reduce(out, r_s, g_s), None
+            s, _ = jax.lax.scan(batch_body, jnp.zeros((P, G)),
+                                (A_simb, Bb, rb, gb))
+            return None, s
+        _, sims = jax.lax.scan(cand_body, None, B_cands_c)
+        sims = sims.reshape(-1, G)[:eq_n]
+        return sims.reshape(eq_n, n_G, G // n_G).mean(-1)
+
+    def round_body(_, carry):
+        a_state, B_int = carry
+        simsA = score_A(a_state, B_int)
+        if sos:
+            a_state = splits[jnp.argmax(simsA)]
+        else:
+            best = jnp.argmax(simsA, axis=0)               # n_G
+            a_state = jnp.take_along_axis(
+                A_cands.reshape(eq_n, n_G), best[None], axis=0)[0] \
+                .reshape(1, n_G, 1, 1, 1, 1, 1)
+        simsB = score_B(a_state, B_int)
+        best = jnp.argmax(simsB, axis=0)
+        B_int = jnp.take_along_axis(
+            B_cands.reshape(eq_n, n_G), best[None], axis=0)[0] \
+            .reshape(1, n_G, 1, 1, 1, 1, 1)
+        return a_state, B_int
+
+    a_state, B_int = jax.lax.fori_loop(
+        0, policy.search_round, round_body,
+        (split0 if sos else A_int0, B_int0))
+    return a_state, B_int
+
+
+def search_matmul(cap, policy: OpPolicy,
+                  budget: int = DEFAULT_BUDGET) -> MatMulQP:
+    """Calibrate an A@B op from captured raw data (head-wise groups)."""
+    A = np.asarray(cap.inputs["a"], np.float32)
+    B = np.asarray(cap.inputs["b"], np.float32)
+    raw_out = np.asarray(cap.out, np.float32)
+    grad = (np.asarray(cap.grad, np.float32)
+            if policy.metric == "hessian" else None)
+    S, G, R, _ = A.shape
+    Co = B.shape[-1]
+    if policy.n_V_A != 1 or policy.n_H_A != 1 or policy.n_V_B != 1 \
+            or policy.n_H_B != 1:
+        raise NotImplementedError(
+            "n_V/n_H block grids on matmul operands are not used by any "
+            "shipped config (matmul.py:411-417 forces head-wise groups)")
+    P, bs = plan_chunks(policy.eq_n, S, G * R * Co, budget)
+    sos = policy.quantizer == "sos_matmul"
+    a_state, B_int = _matmul_search_jit(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(raw_out),
+        None if grad is None else jnp.asarray(grad), policy, P, bs, G)
+    A_qmax = fq.qmax_for_bit(policy.a_bit)
+    if sos:
+        return MatMulQP(A_interval=a_state / (A_qmax - 1), B_interval=B_int,
+                        split=a_state, A_bit=policy.a_bit, B_bit=policy.b_bit)
+    return MatMulQP(A_interval=a_state, B_interval=B_int, split=None,
+                    A_bit=policy.a_bit, B_bit=policy.b_bit)
+
+
+# ---------------------------------------------------------------------------
+# conv search (patch-embedding conv as matmul)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("policy", "P", "bs", "channelwise"))
+def _conv_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
+                     P: int, bs: int, channelwise: bool):
+    """Full calibration_step2 of the patch-embed conv (reference
+    ChannelwiseBatchingQuantConv2d.calibration_step2, conv.py:591-603, and
+    BatchingEasyQuantConv2d, conv.py:429-441).
+
+    x: (S, N, icp) patchified input; w: (oc, icp) flattened kernel.
+    Similarity reductions operate on the token axis — elementwise-equivalent
+    to the reference's NCHW spatial means.
+    """
+    S, N, icp = x.shape
+    oc = w.shape[0]
+    w_qmax = fq.qmax_for_bit(policy.w_bit)
+    a_qmax = fq.qmax_for_bit(policy.a_bit)
+    quant_act = policy.a_bit < 32
+    if raw_grad is None:
+        raw_grad = jnp.zeros((1, 1, 1), jnp.float32)
+
+    if channelwise:
+        if policy.init_layerwise:
+            w_int0 = jnp.broadcast_to(fq.minmax_interval(w, w_qmax)
+                                      .reshape(1, 1), (oc, 1))
+        else:
+            w_int0 = (jnp.amax(jnp.abs(w), axis=1, keepdims=True)
+                      / (w_qmax - 0.5))                    # oc,1
+    else:
+        w_int0 = fq.minmax_interval(w, w_qmax).reshape(1, 1)
+    a_int0 = jnp.max(jnp.abs(x)) / (a_qmax - 0.5)
+
+    grid = fq.candidate_grid(policy.eq_alpha, policy.eq_beta, policy.eq_n)
+    eq_n = policy.eq_n
+    w_cands = grid[:eq_n, None, None] * w_int0[None]       # eq_n,oc|1,1
+    a_cands = grid[:eq_n] * a_int0
+    w_cands_c = _pad_chunk_candidates(w_cands, P)
+    a_cands_c = _pad_chunk_candidates(a_cands, P)
+
+    xb = _chunk_batch(x, bs)
+    rb = _chunk_batch(raw_out, bs)
+    gb = (_chunk_batch(raw_grad, bs) if policy.metric == "hessian"
+          else jnp.zeros((xb.shape[0], 1, 1, 1), jnp.float32))
+
+    def score_w(w_int, a_int):
+        def cand_body(_, wc):                              # P,oc|1,1
+            w_sim = fq.int_quant(w[None], wc, w_qmax) * wc  # P,oc,icp
+
+            def batch_body(acc, inp):
+                x_s, r_s, g_s = inp
+                if quant_act:
+                    x_s = fq.fake_quant(x_s, a_int, a_qmax)
+                out = jnp.einsum("bti,poi->btpo", x_s, w_sim,
+                                 preferred_element_type=jnp.float32)
+                if b is not None:
+                    out = out + b
+                raw = r_s[:, :, None]                      # bs,N,1,oc
+                if channelwise:
+                    # per-channel selection (conv.py:498-557)
+                    if policy.metric == "cosine":
+                        sim = cosine_similarity(
+                            raw.transpose(0, 2, 3, 1),
+                            out.transpose(0, 2, 3, 1), axis=-1)  # bs,P,oc
+                    else:
+                        gc = (g_s[:, :, None]
+                              if policy.metric == "hessian" else None)
+                        sim = _feature_similarity(raw, out, policy.metric,
+                                                  gc, axis=())  # elementwise
+                        sim = jnp.mean(sim, axis=1)        # bs,P,oc
+                    return acc + jnp.sum(sim, axis=0), None
+                # layerwise: metric over channel axis (conv.py:365-396)
+                if policy.metric == "cosine":
+                    sim = cosine_similarity(raw, out, axis=-1)  # bs,N,P
+                    sim = jnp.mean(sim, axis=1)
+                elif policy.metric == "pearson":
+                    sim = cosine_similarity(
+                        raw.reshape(bs, 1, -1), out.transpose(0, 2, 1, 3)
+                        .reshape(bs, P, -1), axis=-1)      # bs,P
+                else:
+                    gc = (g_s[:, :, None]
+                          if policy.metric == "hessian" else None)
+                    sim = _feature_similarity(raw, out, policy.metric, gc,
+                                              axis=-1)     # bs,N,P
+                    sim = jnp.mean(sim, axis=1)            # bs,P
+                return acc + jnp.sum(sim, axis=0), None
+
+            s, _ = jax.lax.scan(
+                batch_body,
+                jnp.zeros((P, oc) if channelwise else (P,)), (xb, rb, gb))
+            return None, s
+
+        _, sims = jax.lax.scan(cand_body, None, w_cands_c)
+        return sims.reshape((-1, oc) if channelwise else (-1,))[:eq_n]
+
+    def score_a(w_int, a_int):
+        if channelwise:
+            w_sim = fq.int_quant(w / w_int, w_qmax) * w_int
+        else:
+            w_sim = fq.fake_quant(w, w_int, w_qmax)
+
+        def cand_body(_, ac):                              # (P,)
+            def batch_body(acc, inp):
+                x_s, r_s, g_s = inp
+                x_sim = (jnp.clip(jnp.round(
+                    x_s[:, :, None] / ac[None, None, :, None]),
+                    -a_qmax, a_qmax - 1) * ac[None, None, :, None])
+                out = jnp.einsum("btpi,oi->btpo", x_sim, w_sim,
+                                 preferred_element_type=jnp.float32)
+                if b is not None:
+                    out = out + b
+                raw = r_s[:, :, None]
+                gc = (g_s[:, :, None] if policy.metric == "hessian" else None)
+                if channelwise:
+                    # elementwise metric, then mean over (channels, tokens)
+                    # == reference mean over [oc, fw, fh] (conv.py:582)
+                    if policy.metric == "cosine":
+                        sim = cosine_similarity(
+                            raw.transpose(0, 2, 3, 1),
+                            out.transpose(0, 2, 3, 1), axis=-1)  # bs,P,oc
+                        sim = jnp.mean(sim, axis=2)              # bs,P
+                    else:
+                        sim = _feature_similarity(raw, out, policy.metric,
+                                                  gc, axis=())   # bs,N,P,oc
+                        sim = jnp.mean(sim, axis=(1, 3))         # bs,P
+                else:
+                    # metric over channel axis, mean over tokens
+                    # (conv.py:419-420; the reference's own mean there is a
+                    # latent shape bug on a path its configs never enable)
+                    sim = _feature_similarity(raw, out, policy.metric, gc,
+                                              axis=-1)           # bs,N,P
+                    sim = jnp.mean(sim, axis=1)                  # bs,P
+                return acc + jnp.sum(sim, axis=0), None
+
+            s, _ = jax.lax.scan(batch_body, jnp.zeros((P,)), (xb, rb, gb))
+            return None, s
+
+        _, sims = jax.lax.scan(cand_body, None, a_cands_c)
+        return sims.reshape(-1)[:eq_n]
+
+    def round_body(_, carry):
+        w_int, a_int = carry
+        sims = score_w(w_int, a_int)
+        if channelwise:
+            best = jnp.argmax(sims, axis=0)                # oc
+            w_int = jnp.take_along_axis(w_cands[:, :, 0], best[None],
+                                        axis=0)[0][:, None]
+        else:
+            w_int = w_cands[jnp.argmax(sims)]
+        if quant_act:
+            a_int = a_cands[jnp.argmax(score_a(w_int, a_int))]
+        return w_int, a_int
+
+    w_int, a_int = jax.lax.fori_loop(0, policy.search_round, round_body,
+                                     (w_int0, a_int0))
+    return w_int, a_int
+
+
+def search_conv(w, b, cap, policy: OpPolicy,
+                budget: int = DEFAULT_BUDGET) -> ConvQP:
+    """Calibrate the patch-embedding conv.  w: (oc, ic, kh, kw)."""
+    x = np.asarray(cap.inputs["x"], np.float32)             # S,N,icp
+    raw_out = np.asarray(cap.out, np.float32)               # S,N,oc
+    grad = (np.asarray(cap.grad, np.float32)
+            if policy.metric == "hessian" else None)
+    oc = w.shape[0]
+    wm = np.asarray(w, np.float32).reshape(oc, -1)
+    S, N, _ = x.shape
+    channelwise = policy.quantizer == "conv_channelwise"
+    P, bs = plan_chunks(policy.eq_n, S, N * oc, budget)
+    w_int, a_int = _conv_search_jit(
+        jnp.asarray(wm), None if b is None else jnp.asarray(b),
+        jnp.asarray(x), jnp.asarray(raw_out),
+        None if grad is None else jnp.asarray(grad), policy, P, bs,
+        channelwise)
+    # store conv-layout interval: (oc,1,1,1) channelwise, scalar layerwise
+    if channelwise:
+        w_int = w_int.reshape(oc, 1, 1, 1)
+    else:
+        w_int = w_int.reshape(())
+    return ConvQP(w_interval=w_int,
+                  a_interval=(a_int if policy.a_bit < 32 else None),
+                  w_bit=policy.w_bit, a_bit=policy.a_bit)

@@ -1,0 +1,333 @@
+"""Search-engine parity vs torch oracles implementing the reference
+algorithm semantics (alternating candidate grid search, summed-then-argmaxed
+similarities, eq_n-of-eq_n+1 candidate scoring, head-wise matmul groups,
+twin-uniform and SoS quantizers).
+
+Oracles are unchunked (chunking does not change the math) and written
+directly from the documented semantics in SURVEY.md §2.1.
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from ptq4vit_tpu.calib.capture import OpCapture
+from ptq4vit_tpu.calib import search as S
+from ptq4vit_tpu.configs.policy import OpPolicy
+from ptq4vit_tpu.quant.fakequant import GELU_NEG_CLIP
+
+
+def T(x):
+    return torch.from_numpy(np.asarray(x).copy())
+
+
+def grid_t(pol):
+    return torch.tensor([pol.eq_alpha + i * (pol.eq_beta - pol.eq_alpha)
+                         / pol.eq_n for i in range(pol.eq_n + 1)],
+                        dtype=torch.float32)
+
+
+def tsim(raw, sim, metric, grad=None, dim=-1):
+    if metric == "cosine":
+        return torch.nn.functional.cosine_similarity(raw, sim, dim=dim)
+    if metric == "L1_norm":
+        s = -(raw - sim).abs()
+    elif metric == "L2_norm":
+        s = -((raw - sim) ** 2)
+    elif metric == "hessian":
+        s = -((grad * (raw - sim)) ** 2)
+    else:
+        raise NotImplementedError
+    return s.mean(dim)
+
+
+# ---------------------------------------------------------------------------
+# linear oracle
+# ---------------------------------------------------------------------------
+
+def oracle_linear(w, b, x, raw_out, grad, pol, postgelu=False):
+    w, x, raw_out = T(w), T(x), T(raw_out)
+    b = None if b is None else T(b)
+    grad = None if grad is None else T(grad)
+    S_, Tk, ic = x.shape
+    oc = raw_out.shape[-1]
+    n_V, n_H, n_a = pol.n_V, pol.n_H, pol.n_a
+    crb_r, crb_c, crb_a = oc // n_V, ic // n_H, ic // n_a
+    wq, aq = 2 ** (pol.w_bit - 1), 2 ** (pol.a_bit - 1)
+    neg = GELU_NEG_CLIP / aq
+
+    w4 = w.view(n_V, crb_r, n_H, crb_c)
+    w_int = w4.abs().amax([1, 3], keepdim=True) / (wq - 0.5)
+    xg = x.view(S_, Tk, n_a, crb_a)
+    val = xg if postgelu else xg.abs()
+    a_int = (val.amax([0, 1, 3]) / (aq - 0.5)).unsqueeze(-1)
+
+    g = grid_t(pol)
+    w_c = g.view(-1, 1, 1, 1, 1) * w_int.unsqueeze(0)
+    a_c = g.view(1, 1, -1) * a_int.unsqueeze(-1)
+
+    def quant_in(xx, ai):
+        xgg = xx.view(S_, Tk, n_a, crb_a)
+        if postgelu:
+            xp = (xgg / ai).round_().clamp_(0, aq - 1) * ai
+            xn = (xgg / neg).round_().clamp_(-aq, 0) * neg
+            return (xp + xn).view(S_, Tk, ic)
+        return ((xgg / ai).round_().clamp_(-aq, aq - 1) * ai).view(S_, Tk, ic)
+
+    for _ in range(pol.search_round):
+        for h in range(n_H):
+            sims = []
+            for i in range(pol.eq_n):   # last candidate never scored
+                cur = w_int.clone()
+                cur[:, :, h:h + 1, :] = w_c[i, :, :, h:h + 1, :]
+                w_sim = ((w4 / cur).round().clamp(-wq, wq - 1) * cur) \
+                    .view(oc, ic)
+                out = torch.nn.functional.linear(quant_in(x, a_int), w_sim, b)
+                outc = out.view(S_, Tk, n_V, crb_r)
+                rawc = raw_out.view(S_, Tk, n_V, crb_r)
+                gc = None if grad is None else grad.view(S_, Tk, n_V, crb_r)
+                s = tsim(rawc, outc, pol.metric, gc)        # S,T,n_V
+                sims.append(s.mean(1).sum(0))               # n_V
+            best = torch.stack(sims).argmax(0)              # n_V
+            for v in range(n_V):
+                w_int[v, :, h, :] = w_c[best[v], v, :, h, :]
+        for a in range(n_a):
+            sims = []
+            for i in range(pol.eq_n):
+                cur = a_int.clone()
+                cur[a] = a_c[a, :, i]
+                w_sim = ((w4 / w_int).round().clamp(-wq, wq - 1) * w_int) \
+                    .view(oc, ic)
+                out = torch.nn.functional.linear(quant_in(x, cur), w_sim, b)
+                gc = grad
+                s = tsim(raw_out, out, pol.metric, gc)      # S,T
+                sims.append(s.mean(1).sum(0))
+            best = int(torch.stack(sims).argmax())
+            a_int[a] = a_c[a, :, best]
+    return w_int.numpy(), a_int.numpy()
+
+
+def _pol(**kw):
+    d = dict(quantizer="linear", metric="L2_norm", eq_alpha=0.2, eq_beta=1.2,
+             eq_n=8, search_round=2, w_bit=6, a_bit=6)
+    d.update(kw)
+    return OpPolicy(**d)
+
+
+@pytest.mark.parametrize("metric", ["L2_norm", "cosine", "hessian"])
+def test_linear_search_parity(rng, metric):
+    pol = _pol(metric=metric, n_V=3, n_H=2, n_a=2)
+    S_, Tk, ic, oc = 4, 6, 8, 12
+    w = rng.standard_normal((oc, ic)).astype(np.float32)
+    b = rng.standard_normal((oc,)).astype(np.float32)
+    x = rng.standard_normal((S_, Tk, ic)).astype(np.float32)
+    raw_out = (x @ w.T + b).astype(np.float32)
+    grad = rng.standard_normal(raw_out.shape).astype(np.float32)
+    cap = OpCapture(kind="linear", inputs={"x": x}, out=raw_out, grad=grad)
+    qp = S.search_linear(w, b, cap, pol)
+    ref_w, ref_a = oracle_linear(w, b, x, raw_out,
+                                 grad if metric == "hessian" else None, pol)
+    np.testing.assert_allclose(np.asarray(qp.w_interval), ref_w, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(qp.a_interval), ref_a, rtol=1e-6)
+
+
+def test_postgelu_linear_search_parity(rng):
+    pol = _pol(quantizer="postgelu_linear", metric="hessian", n_V=2, n_a=2,
+               search_round=3)
+    S_, Tk, ic, oc = 4, 5, 8, 6
+    w = rng.standard_normal((oc, ic)).astype(np.float32)
+    b = rng.standard_normal((oc,)).astype(np.float32)
+    # post-GELU-like input
+    x = np.abs(rng.standard_normal((S_, Tk, ic))).astype(np.float32)
+    x[:, :, ::3] = -0.05 * rng.random((S_, Tk, 3)).astype(np.float32)
+    raw_out = (x @ w.T + b).astype(np.float32)
+    grad = rng.standard_normal(raw_out.shape).astype(np.float32)
+    cap = OpCapture(kind="linear", inputs={"x": x}, out=raw_out, grad=grad)
+    qp = S.search_linear(w, b, cap, pol)
+    ref_w, ref_a = oracle_linear(w, b, x, raw_out, grad, pol, postgelu=True)
+    np.testing.assert_allclose(np.asarray(qp.w_interval), ref_w, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(qp.a_interval), ref_a, rtol=1e-6)
+    assert qp.postgelu and abs(qp.a_neg_interval - GELU_NEG_CLIP / 32) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# matmul oracle (head-wise groups, n_V=n_H=1)
+# ---------------------------------------------------------------------------
+
+def oracle_matmul(A, B, raw_out, grad, pol, sos=False):
+    A, B, raw_out = T(A), T(B), T(raw_out)
+    grad = None if grad is None else T(grad)
+    S_, G, R, Ci = A.shape
+    Co = B.shape[-1]
+    Aq, Bq = 2 ** (pol.a_bit - 1), 2 ** (pol.b_bit - 1)
+
+    def init_int(x, q):
+        return x.abs().amax([0, 2, 3], keepdim=True).unsqueeze(0) / (q - 0.5)
+
+    B_int = init_int(B, Bq)                                 # 1,1,G,1,1 (vision)
+    g = grid_t(pol)
+    B_c = [g[i] * B_int for i in range(pol.eq_n)]
+    if sos:
+        split = torch.tensor(0.01)
+        splits = torch.tensor([2.0 ** (-i) for i in range(20)])
+    else:
+        A_int = init_int(A, Aq)
+        A_c = [g[i] * A_int for i in range(pol.eq_n)]
+
+    def qA(a, state):
+        if sos:
+            ai = state / (Aq - 1)
+            hi = (a.clamp(state, 1) * (Aq - 1)).round().clamp(0, Aq - 1) / (Aq - 1)
+            lo = (a.clamp(0, state) / ai).round().clamp(0, Aq - 1) * ai
+            return hi + lo
+        return (a.unsqueeze(0) / state).round().clamp(-Aq, Aq - 1) \
+            .mul(state).squeeze(0)
+
+    def qB(b_, state):
+        return (b_.unsqueeze(0) / state).round().clamp(-Bq, Bq - 1) \
+            .mul(state).squeeze(0)
+
+    def headwise_sims(out, metric):
+        # out: (S,G,R,Co) -> per-head scalar after feature mean + row mean
+        s = tsim(raw_out, out, metric, grad)                # S,G,R
+        return s.mean(2).sum(0)                             # G
+
+    state = split if sos else A_int
+    for _ in range(pol.search_round):
+        if sos:
+            sims = []
+            for sp in splits:
+                out = qA(A, sp) @ B                         # B raw in SoS A-search
+                s = tsim(raw_out, out, pol.metric, grad)    # S,G,R
+                sims.append(s.mean([1, 2]).sum(0))
+            state = splits[int(torch.stack(sims).argmax())]
+        else:
+            Bs = qB(B, B_int)
+            sims = [headwise_sims(qA(A, A_c[i]) @ Bs, pol.metric)
+                    for i in range(pol.eq_n)]
+            best = torch.stack(sims).argmax(0)              # G
+            for gi in range(G):
+                A_int[0, 0, gi] = A_c[best[gi]][0, 0, gi]
+            state = A_int
+        As = qA(A, state)
+        sims = [headwise_sims(As @ qB(B, B_c[i]), pol.metric)
+                for i in range(pol.eq_n)]
+        best = torch.stack(sims).argmax(0)
+        for gi in range(G):
+            B_int[0, 0, gi] = B_c[best[gi]][0, 0, gi]
+    return (state.numpy() if sos else state.numpy()), B_int.numpy()
+
+
+def _mpol(**kw):
+    d = dict(quantizer="matmul", metric="hessian", eq_alpha=0.2, eq_beta=1.2,
+             eq_n=8, search_round=2, a_bit=6, b_bit=6)
+    d.update(kw)
+    return OpPolicy(**d)
+
+
+@pytest.mark.parametrize("metric", ["L2_norm", "hessian"])
+def test_matmul_search_parity(rng, metric):
+    pol = _mpol(metric=metric)
+    S_, G, R, Ci, Co = 4, 3, 6, 5, 7
+    A = rng.standard_normal((S_, G, R, Ci)).astype(np.float32)
+    B = rng.standard_normal((S_, G, Ci, Co)).astype(np.float32)
+    raw_out = np.einsum("sgrc,sgco->sgro", A, B).astype(np.float32)
+    grad = rng.standard_normal(raw_out.shape).astype(np.float32)
+    cap = OpCapture(kind="matmul", inputs={"a": A, "b": B}, out=raw_out,
+                    grad=grad)
+    qp = S.search_matmul(cap, pol)
+    ref_A, ref_B = oracle_matmul(A, B, raw_out,
+                                 grad if metric == "hessian" else None, pol)
+    np.testing.assert_allclose(
+        np.asarray(qp.A_interval).reshape(G), ref_A.reshape(G), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(qp.B_interval).reshape(G), ref_B.reshape(G), rtol=1e-6)
+
+
+def test_sos_matmul_search_parity(rng):
+    pol = _mpol(quantizer="sos_matmul", a_bit=8, b_bit=8, search_round=3)
+    S_, G, R, Co = 4, 2, 6, 5
+    # A is softmax-like
+    logits = rng.standard_normal((S_, G, R, R)).astype(np.float32) * 3
+    A = torch.softmax(torch.from_numpy(logits), -1).numpy()
+    B = rng.standard_normal((S_, G, R, Co)).astype(np.float32)
+    raw_out = np.einsum("sgrc,sgco->sgro", A, B).astype(np.float32)
+    grad = rng.standard_normal(raw_out.shape).astype(np.float32)
+    cap = OpCapture(kind="matmul", inputs={"a": A, "b": B}, out=raw_out,
+                    grad=grad)
+    qp = S.search_matmul(cap, pol)
+    ref_split, ref_B = oracle_matmul(A, B, raw_out, grad, pol, sos=True)
+    np.testing.assert_allclose(float(qp.split), float(ref_split), rtol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(qp.B_interval).reshape(G), ref_B.reshape(G), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# conv oracle (patchified layout)
+# ---------------------------------------------------------------------------
+
+def oracle_conv(wm, b, x, raw_out, grad, pol, channelwise):
+    wm, x, raw_out = T(wm), T(x), T(raw_out)
+    b = None if b is None else T(b)
+    grad = None if grad is None else T(grad)
+    S_, N, icp = x.shape
+    oc = wm.shape[0]
+    wq = 2 ** (pol.w_bit - 1)
+    g = grid_t(pol)
+    if channelwise:
+        w_int = wm.abs().amax(1, keepdim=True) / (wq - 0.5)  # oc,1
+    else:
+        w_int = wm.abs().max() / (wq - 0.5)
+    w_c = [g[i] * w_int for i in range(pol.eq_n)]
+    for _ in range(pol.search_round):
+        sims = []
+        for i in range(pol.eq_n):
+            w_sim = (wm / w_c[i]).round().clamp(-wq, wq - 1) * w_c[i]
+            out = x @ w_sim.t()
+            if b is not None:
+                out = out + b
+            if channelwise:
+                if pol.metric == "cosine":
+                    s = torch.nn.functional.cosine_similarity(
+                        raw_out.transpose(1, 2), out.transpose(1, 2), dim=-1)
+                else:
+                    gr = None if grad is None else grad
+                    s = (-(gr * (raw_out - out)) ** 2 if pol.metric ==
+                         "hessian" else -((raw_out - out) ** 2))
+                    s = s.mean(1)                           # S,oc
+                sims.append(s.sum(0))                       # oc
+            else:
+                s = tsim(raw_out, out, pol.metric, grad)    # S,N
+                sims.append(s.mean(1).sum(0))
+        best = torch.stack(sims).argmax(0)
+        if channelwise:
+            for c in range(oc):
+                w_int[c] = w_c[best[c]][c]
+        else:
+            w_int = w_c[int(best)]
+    return np.asarray(w_int)
+
+
+@pytest.mark.parametrize("channelwise,metric", [(True, "hessian"),
+                                                (True, "cosine"),
+                                                (False, "cosine")])
+def test_conv_search_parity(rng, channelwise, metric):
+    pol = OpPolicy(quantizer=("conv_channelwise" if channelwise
+                              else "conv_layerwise"),
+                   metric=metric, eq_alpha=0.2, eq_beta=1.2, eq_n=8,
+                   search_round=2, w_bit=8, a_bit=32)
+    S_, N, ic, p, oc = 4, 9, 3, 2, 6
+    w = rng.standard_normal((oc, ic, p, p)).astype(np.float32)
+    b = rng.standard_normal((oc,)).astype(np.float32)
+    x = rng.standard_normal((S_, N, ic * p * p)).astype(np.float32)
+    raw_out = (x @ w.reshape(oc, -1).T + b).astype(np.float32)
+    grad = rng.standard_normal(raw_out.shape).astype(np.float32)
+    cap = OpCapture(kind="conv", inputs={"x": x}, out=raw_out, grad=grad)
+    qp = S.search_conv(w, b, cap, pol)
+    ref = oracle_conv(w.reshape(oc, -1), b, x, raw_out,
+                      grad if metric == "hessian" else None, pol, channelwise)
+    got = np.asarray(qp.w_interval).reshape(-1)
+    np.testing.assert_allclose(got, ref.reshape(-1), rtol=1e-6)
+    assert qp.a_interval is None  # a_bit=32 -> activation quant off
