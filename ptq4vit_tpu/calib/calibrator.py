@@ -1,0 +1,338 @@
+"""Calibration orchestration — the functional equivalent of the reference's
+QuantCalibrator / HessianQuantCalibrator (utils/quant_calib.py:9-378 in
+hahnyuan/PTQ4ViT).
+
+Parallel paradigm (the production path, sequential=False): every op is
+calibrated against the FP32 net's own inputs/outputs.  The reference
+re-feeds the whole calib set through the whole net once PER MODULE with
+hooks on just that module (quant_calib.py:316-341); here ONE capture pass
+(grouped only if host memory requires it) collects every op's raw data, then
+each op's jitted search runs back-to-back on device.
+
+Sequential mode (reference sequential=True, quant_calib.py:369): each op is
+calibrated with all PRECEDING ops already in quant_forward mode, which
+requires a fresh capture per op — supported, at the cost the reference also
+pays.
+
+Bias correction: the reference's batching pipeline sets
+``bias_correction=True`` (configs/PTQ4ViT.py:34) but never invokes
+``_bias_correction_quant_forward`` on that path (linear.py:536-555 has the
+call commented out; forward dispatch never routes to it) — i.e. the flag is
+inert in the shipped pipeline.  We reproduce that default and expose the
+correction as an explicit opt-in (:func:`apply_bias_correction`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.policy import QuantConfig
+from ..quant.qparams import ConvQP, LinearQP, MatMulQP
+from . import search as S
+from .capture import capture
+
+
+def _params_for_op(params: Dict[str, Any], name: str):
+    """Fetch (weight, bias) of a linear/conv op by its dotted timm path."""
+    node = params
+    for part in name.split("."):
+        if isinstance(node, list):
+            node = node[int(part)]
+        else:
+            node = node[part]
+    return node.get("weight"), node.get("bias")
+
+
+def _tap_bytes(net, calib_n: int, need_grad: bool) -> Dict[str, int]:
+    """Host bytes of each op's full-calib-set capture (inputs+out[+grad])."""
+    xb = jax.ShapeDtypeStruct((1,) + (3, net.cfg.img_size, net.cfg.img_size),
+                              jnp.float32)
+    _, shapes = jax.eval_shape(
+        lambda p, x: net.forward(p, x, net.cfg, capture=True), net.params, xb)
+    out = {}
+    for name, _ in net.op_inventory:
+        n = 0
+        for v in jax.tree.leaves(shapes[name]):
+            n += int(np.prod(v.shape)) * 4
+        if need_grad:
+            n += int(np.prod(shapes[name]["out"].shape)) * 4
+        out[name] = n * calib_n
+    return out
+
+
+@dataclasses.dataclass
+class CalibReport:
+    """Per-layer timing + config echo (replaces the reference's tqdm
+    postfix/print logging, quant_calib.py:316-318)."""
+    model: str
+    config: str
+    capture_seconds: float = 0.0
+    search_seconds: Dict[str, float] = dataclasses.field(default_factory=dict)
+
+    @property
+    def total_seconds(self) -> float:
+        return self.capture_seconds + sum(self.search_seconds.values())
+
+
+class HessianQuantCalibrator:
+    """Drop-in counterpart of the reference class of the same name
+    (quant_calib.py:203).  ``batching_quant_calib`` returns the calibrated
+    qstate dict to feed the model forward."""
+
+    def __init__(self, net, quant_cfg: QuantConfig, calib_x: np.ndarray,
+                 sequential: bool = False, batch_size: int = 4,
+                 host_budget_bytes: int = 48 << 30,
+                 search_budget_bytes: int = S.DEFAULT_BUDGET,
+                 probe_seed: int = 3, probe_sigma: float = 1e-3,
+                 checkpoint_dir: Optional[str] = None):
+        self.net = net
+        self.cfg = quant_cfg
+        self.calib_x = np.asarray(calib_x, np.float32)
+        self.sequential = sequential
+        self.batch_size = batch_size
+        self.host_budget = host_budget_bytes
+        self.search_budget = search_budget_bytes
+        self.probe_seed = probe_seed
+        self.probe_sigma = probe_sigma
+        self.checkpoint_dir = checkpoint_dir
+        self.report = CalibReport(model=net.name, config=quant_cfg.name)
+
+    # -- checkpoint/resume -------------------------------------------------
+    def _ckpt_path(self, name: str) -> Optional[str]:
+        if self.checkpoint_dir is None:
+            return None
+        return os.path.join(self.checkpoint_dir, name.replace("/", "_") + ".npz")
+
+    def _load_ckpt(self, name: str, mtype: str):
+        p = self._ckpt_path(name)
+        if p is None or not os.path.exists(p):
+            return None
+        return load_op_qp(p)
+
+    def _save_ckpt(self, name: str, qp):
+        p = self._ckpt_path(name)
+        if p is None:
+            return
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        save_op_qp(p, qp)
+
+    # -- main entry (reference quant_calib.py:300-378) ---------------------
+    def batching_quant_calib(self, verbose: bool = True) -> Dict[str, Any]:
+        net, cfg = self.net, self.cfg
+        policies = {name: cfg.op_policy(mtype)
+                    for name, mtype in net.op_inventory}
+        need_grad = any(p.metric == "hessian" for p in policies.values())
+
+        qstate: Dict[str, Any] = {}
+        todo = []
+        for n, t in net.op_inventory:
+            qp = self._load_ckpt(n, t)
+            if qp is None:
+                todo.append((n, t))
+            else:
+                qstate[n] = qp
+
+        if self.sequential:
+            # target distribution from the raw net, computed once
+            # (quant_calib.py:309-313); then each op captured with the
+            # already-calibrated prefix in quant_forward mode
+            from .capture import probe_target
+            logits_fn = jax.jit(
+                lambda p, x: net.forward(p, x, net.cfg))
+            raw_logits = np.concatenate([
+                np.asarray(logits_fn(net.params,
+                                     jnp.asarray(self.calib_x[s0:s0 + 8])))
+                for s0 in range(0, len(self.calib_x), 8)])
+            target = probe_target(raw_logits, self.probe_seed,
+                                  self.probe_sigma) if need_grad else None
+            for name, mtype in todo:
+                t0 = time.time()
+                raw = capture(net, self.calib_x, batch_size=self.batch_size,
+                              need_grad=need_grad, probe_seed=self.probe_seed,
+                              probe_sigma=self.probe_sigma, ops=[name],
+                              qstate=dict(qstate), target_probs=target)
+                self.report.capture_seconds += time.time() - t0
+                t0 = time.time()
+                qp = self._search_one(name, mtype, policies[name], raw[name])
+                self.report.search_seconds[name] = time.time() - t0
+                qstate[name] = qp
+                self._save_ckpt(name, qp)
+            return qstate
+
+        # group ops so each capture pass fits the host budget
+        sizes = _tap_bytes(net, self.calib_x.shape[0], need_grad)
+        groups: List[List[str]] = [[]]
+        acc = 0
+        for name, _ in todo:
+            if groups[-1] and acc + sizes[name] > self.host_budget:
+                groups.append([])
+                acc = 0
+            groups[-1].append(name)
+            acc += sizes[name]
+
+        mtypes = dict(net.op_inventory)
+        for group in groups:
+            if not group:
+                continue
+            t0 = time.time()
+            raw = capture(net, self.calib_x, batch_size=self.batch_size,
+                          need_grad=need_grad, probe_seed=self.probe_seed,
+                          probe_sigma=self.probe_sigma, ops=group)
+            self.report.capture_seconds += time.time() - t0
+            for name in group:
+                mtype = mtypes[name]
+                t0 = time.time()
+                qp = self._search_one(name, mtype, policies[name], raw[name])
+                qp = jax.tree.map(lambda a: a.block_until_ready()
+                                  if hasattr(a, "block_until_ready") else a, qp)
+                self.report.search_seconds[name] = time.time() - t0
+                qstate[name] = qp
+                self._save_ckpt(name, qp)
+                raw[name] = None  # free host memory eagerly
+                if verbose:
+                    print(f"[calib] {name}: "
+                          f"{self.report.search_seconds[name]:.2f}s")
+        return qstate
+
+    def _search_one(self, name: str, mtype: str, policy, cap):
+        if mtype == "qconv":
+            w, b = _params_for_op(self.net.params, name)
+            return S.search_conv(w, b, cap, policy, self.search_budget)
+        if "qmatmul" in mtype:
+            return S.search_matmul(cap, policy, self.search_budget)
+        w, b = _params_for_op(self.net.params, name)
+        return S.search_linear(w, b, cap, policy, self.search_budget)
+
+
+# convenience alias matching the reference's base class name
+QuantCalibrator = HessianQuantCalibrator
+
+
+def minmax_calib(net, quant_cfg: QuantConfig, calib_x: np.ndarray,
+                 batch_size: int = 8) -> Dict[str, Any]:
+    """Plain min-max calibration (reference MinMaxQuant* calibration_step2,
+    linear.py:86-92, matmul.py:54-60) — a fast baseline, no search."""
+    from ..quant import fakequant as fq
+    raw = capture(net, calib_x, batch_size=batch_size, need_grad=False)
+    qstate = {}
+    for name, mtype in net.op_inventory:
+        pol = quant_cfg.op_policy(mtype)
+        cap = raw[name]
+        if "qmatmul" in mtype:
+            A = jnp.asarray(cap.inputs["a"])
+            B = jnp.asarray(cap.inputs["b"])
+            G = A.shape[1]
+            qstate[name] = MatMulQP(
+                A_interval=fq.matmul_operand_interval_init(
+                    A, G, 1, 1, fq.qmax_for_bit(pol.a_bit)),
+                B_interval=fq.matmul_operand_interval_init(
+                    B, G, 1, 1, fq.qmax_for_bit(pol.b_bit)),
+                A_bit=pol.a_bit, B_bit=pol.b_bit)
+        elif mtype == "qconv":
+            w, b = _params_for_op(net.params, name)
+            qmax = fq.qmax_for_bit(pol.w_bit)
+            qstate[name] = ConvQP(
+                w_interval=fq.minmax_interval(jnp.asarray(w), qmax),
+                a_interval=None, w_bit=pol.w_bit, a_bit=32)
+        else:
+            w, b = _params_for_op(net.params, name)
+            qmax_w = fq.qmax_for_bit(pol.w_bit)
+            qmax_a = fq.qmax_for_bit(pol.a_bit)
+            x = jnp.asarray(cap.inputs["x"])
+            qstate[name] = LinearQP(
+                w_interval=fq.minmax_interval(
+                    jnp.asarray(w), qmax_w).reshape(1, 1, 1, 1),
+                a_interval=(jnp.max(jnp.abs(x)) / (qmax_a - 0.5)).reshape(1, 1),
+                w_bit=pol.w_bit, a_bit=pol.a_bit)
+    return qstate
+
+
+def apply_bias_correction(net, qstate: Dict[str, Any], calib_x: np.ndarray,
+                          batch_size: int = 8) -> Dict[str, Any]:
+    """Explicit one-shot bias correction (reference
+    _bias_correction_quant_forward, linear.py:69-77): subtract the mean
+    quantization-induced output error from each linear bias.  NOT part of
+    the shipped pipeline (the reference flag is inert there) — opt-in.
+
+    Returns a NEW params pytree with corrected biases; qstate unchanged.
+    """
+    raw = capture(net, calib_x, batch_size=batch_size, need_grad=False)
+    params = jax.tree.map(lambda a: a, net.params)  # shallow copy via rebuild
+
+    def set_bias(params, name, new_bias):
+        node = params
+        parts = name.split(".")
+        for part in parts[:-1]:
+            node = node[int(part)] if isinstance(node, list) else node[part]
+        node[parts[-1]]["bias"] = new_bias
+
+    for name, mtype in net.op_inventory:
+        if not mtype.startswith("qlinear"):
+            continue
+        qp = qstate.get(name)
+        if qp is None:
+            continue
+        w, b = _params_for_op(net.params, name)
+        if b is None:
+            continue
+        x = jnp.asarray(raw[name].inputs["x"])
+        w_sim = qp.quant_weight(w)
+        x_sim = qp.quant_input(x.reshape(-1, x.shape[-1]))
+        eps = jnp.mean(jnp.matmul(x_sim, (w_sim - w).T), axis=0)
+        set_bias(params, name, b - eps)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# qstate persistence (SURVEY.md §5: tiny per-layer state makes calibration
+# resumable; the reference has no calibration resume at all)
+# ---------------------------------------------------------------------------
+
+_QP_KINDS = {"LinearQP": LinearQP, "MatMulQP": MatMulQP, "ConvQP": ConvQP}
+
+
+def save_op_qp(path: str, qp) -> None:
+    import json
+    arrays = {}
+    meta = {"kind": type(qp).__name__}
+    for f in dataclasses.fields(qp):
+        v = getattr(qp, f.name)
+        if v is None:
+            continue
+        if hasattr(v, "shape") or isinstance(v, (np.ndarray, np.generic)):
+            arrays[f.name] = np.asarray(v)
+        else:
+            meta[f.name] = v
+    np.savez(path, __meta__=np.asarray(json.dumps(meta)), **arrays)
+
+
+def load_op_qp(path: str):
+    import json
+    data = np.load(path)
+    meta = json.loads(str(data["__meta__"]))
+    cls = _QP_KINDS[meta.pop("kind")]
+    kw = dict(meta)
+    for k in data.files:
+        if k != "__meta__":
+            kw[k] = jnp.asarray(data[k])
+    return cls(**kw)
+
+
+def save_qstate(dirpath: str, qstate: Dict[str, Any]) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    for name, qp in qstate.items():
+        save_op_qp(os.path.join(dirpath, name.replace("/", "_") + ".npz"), qp)
+
+
+def load_qstate(dirpath: str) -> Dict[str, Any]:
+    out = {}
+    for fn in sorted(os.listdir(dirpath)):
+        if fn.endswith(".npz"):
+            out[fn[:-4]] = load_op_qp(os.path.join(dirpath, fn))
+    return out

@@ -44,6 +44,15 @@ class OpCapture:
     grad: Optional[np.ndarray] = None
 
 
+def probe_target(raw_logits: np.ndarray, probe_seed: int,
+                 probe_sigma: float) -> np.ndarray:
+    """softmax(logits + sigma*u) with seeded gaussian u (see module docs)."""
+    u = jax.random.normal(jax.random.PRNGKey(probe_seed),
+                          raw_logits.shape, jnp.float32)
+    return np.asarray(jax.nn.softmax(
+        jnp.asarray(raw_logits) + probe_sigma * u, axis=-1))
+
+
 def _kl_batchmean(logits, target):
     """torch F.kl_div(log_softmax(logits), target, reduction="batchmean")."""
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -54,7 +63,9 @@ def _kl_batchmean(logits, target):
 def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
             need_grad: bool = True, probe_seed: int = 3,
             probe_sigma: float = 1e-3,
-            ops: Optional[Sequence[str]] = None) -> Dict[str, OpCapture]:
+            ops: Optional[Sequence[str]] = None,
+            qstate: Optional[Dict] = None,
+            target_probs: Optional[np.ndarray] = None) -> Dict[str, OpCapture]:
     """Run the capture pass over the calibration set.
 
     net: models.registry.Net;  calib_x: (num, 3, H, W) float32 host array.
@@ -64,6 +75,11 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
     probe_sigma: σ of the logit-space probe; 0.0 reproduces the reference's
        analytically-zero gradient (useful only for debugging).
     ops: subset of op names to capture (default: all quantizable ops).
+    qstate: quantization state applied during the pass (sequential mode —
+       preceding ops in quant_forward, reference quant_calib.py:369).
+    target_probs: precomputed probe target distribution; when given, the
+       target pass is skipped (sequential mode computes it once on the raw
+       net, reference quant_calib.py:309-313).
 
     Returns {op name: OpCapture} with float32 numpy arrays whose leading axis
     is the calibration-sample axis (for Swin matmuls: samples × windows,
@@ -80,16 +96,14 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
     name_set = set(names)
 
     # ---- target pass: raw logits over the calib set (quant_calib.py:309)
-    logits_fn = jax.jit(lambda p, x: fwd(p, x, cfg))
-    raw_logits = np.concatenate([
-        np.asarray(logits_fn(params, jnp.asarray(calib_x[s:s + batch_size])))
-        for s in range(0, num, batch_size)], axis=0)
-
-    if need_grad:
-        u = jax.random.normal(jax.random.PRNGKey(probe_seed),
-                              raw_logits.shape, jnp.float32)
-        target_all = np.asarray(
-            jax.nn.softmax(jnp.asarray(raw_logits) + probe_sigma * u, axis=-1))
+    if need_grad and target_probs is not None:
+        target_all = np.asarray(target_probs, np.float32)
+    elif need_grad:
+        logits_fn = jax.jit(lambda p, x: fwd(p, x, cfg))
+        raw_logits = np.concatenate([
+            np.asarray(logits_fn(params, jnp.asarray(calib_x[s:s + batch_size])))
+            for s in range(0, num, batch_size)], axis=0)
+        target_all = probe_target(raw_logits, probe_seed, probe_sigma)
     else:
         target_all = None
 
@@ -97,14 +111,16 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
     xb_spec = jax.ShapeDtypeStruct((batch_size,) + calib_x.shape[1:],
                                    jnp.float32)
     _, tap_shapes = jax.eval_shape(
-        lambda p, x: fwd(p, x, cfg, capture=True), params, xb_spec)
+        lambda p, x: fwd(p, x, cfg, qstate=qstate, capture=True),
+        params, xb_spec)
     eps_zeros = {n: jnp.zeros(tap_shapes[n]["out"].shape, jnp.float32)
                  for n in names}
 
     if need_grad:
         def step(p, xb, tb):
             def loss_fn(eps):
-                logits, taps = fwd(p, xb, cfg, eps=eps, capture=True)
+                logits, taps = fwd(p, xb, cfg, qstate=qstate, eps=eps,
+                                   capture=True)
                 taps = {n: taps[n] for n in name_set}
                 return _kl_batchmean(logits, tb), taps
             (_, taps), grads = jax.value_and_grad(
@@ -112,7 +128,7 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
             return taps, grads
     else:
         def step(p, xb, tb):
-            _, taps = fwd(p, xb, cfg, capture=True)
+            _, taps = fwd(p, xb, cfg, qstate=qstate, capture=True)
             return {n: taps[n] for n in name_set}, None
     step = jax.jit(step)
 

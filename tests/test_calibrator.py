@@ -1,0 +1,143 @@
+"""End-to-end calibration on a tiny ViT: full PTQ4ViT pipeline (hessian +
+twin quantizers), BasePTQ pipeline, minmax baseline, checkpoint/resume,
+sequential mode."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ptq4vit_tpu.calib.calibrator import (HessianQuantCalibrator, load_qstate,
+                                          minmax_calib, save_qstate,
+                                          apply_bias_correction)
+from ptq4vit_tpu.configs import base_ptq, get_config, ptq4vit
+from ptq4vit_tpu.quant.qparams import ConvQP, LinearQP, MatMulQP
+from tests.test_capture import tiny_net, CFG
+
+
+def small_cfg(cfg):
+    """Shrink the search so CPU tests stay fast (semantics unchanged)."""
+    for kw in (cfg.ptqsl_conv2d_kwargs, cfg.ptqsl_linear_kwargs,
+               cfg.ptqsl_matmul_kwargs):
+        kw["eq_n"] = 8
+        kw["search_round"] = 1
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def net():
+    return tiny_net()
+
+
+@pytest.fixture(scope="module")
+def calib_x():
+    return np.random.default_rng(3).standard_normal(
+        (8, 3, 32, 32)).astype(np.float32)
+
+
+def test_ptq4vit_pipeline(net, calib_x):
+    cfg = small_cfg(ptq4vit())
+    calib = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4)
+    qstate = calib.batching_quant_calib(verbose=False)
+    assert set(qstate) == {n for n, _ in net.op_inventory}
+    # quantizer kinds resolved per the PTQ4ViT policy
+    assert isinstance(qstate["patch_embed.proj"], ConvQP)
+    assert qstate["patch_embed.proj"].a_interval is None          # a_bit=32
+    assert qstate["patch_embed.proj"].w_interval.shape == (24, 1, 1, 1)
+    qkv = qstate["blocks.0.attn.qkv"]
+    assert isinstance(qkv, LinearQP) and qkv.w_interval.shape == (3, 1, 1, 1)
+    fc2 = qstate["blocks.0.mlp.fc2"]
+    assert fc2.postgelu and fc2.a_neg_interval is not None
+    mm2 = qstate["blocks.0.attn.matmul2"]
+    assert isinstance(mm2, MatMulQP) and mm2.split is not None
+    mm1 = qstate["blocks.0.attn.matmul1"]
+    assert mm1.split is None
+    assert mm1.A_interval.shape == (1, 3, 1, 1, 1, 1, 1)          # head-wise
+    head = qstate["head"]
+    assert head.w_interval.shape == (1, 1, 1, 1)                   # n_V=1
+
+    # quantized forward runs and stays close to FP32
+    x = calib_x[:4]
+    fp = np.asarray(net.apply(jnp.asarray(x)))
+    q8 = np.asarray(net.apply(jnp.asarray(x), qstate=qstate))
+    rel = np.abs(q8 - fp).max() / (np.abs(fp).max() + 1e-9)
+    assert rel < 0.5  # W8A8-ish on random weights: rough but bounded
+
+    # search beats plain minmax calibration on output error
+    mm_qstate = minmax_calib(net, small_cfg(ptq4vit()), calib_x)
+    qmm = np.asarray(net.apply(jnp.asarray(x), qstate=mm_qstate))
+    assert np.mean((q8 - fp) ** 2) <= np.mean((qmm - fp) ** 2) * 1.5
+
+    # report populated
+    assert calib.report.total_seconds > 0
+    assert len(calib.report.search_seconds) == len(qstate)
+
+
+def test_base_ptq_pipeline(net, calib_x):
+    cfg = small_cfg(base_ptq())
+    qstate = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4) \
+        .batching_quant_calib(verbose=False)
+    # BasePTQ: no twin quantizers, layerwise conv
+    assert qstate["blocks.0.mlp.fc2"].postgelu is False
+    assert qstate["blocks.0.attn.matmul2"].split is None
+    assert qstate["patch_embed.proj"].w_interval.shape == ()
+    np.asarray(net.apply(jnp.asarray(calib_x[:2]), qstate=qstate))
+
+
+def test_w6a6_bits(net, calib_x):
+    cfg = small_cfg(ptq4vit()).set_bits(6, 6)
+    qstate = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4) \
+        .batching_quant_calib(verbose=False)
+    assert qstate["blocks.0.attn.qkv"].w_bit == 6
+    assert qstate["blocks.0.attn.matmul1"].A_bit == 6
+
+
+def test_checkpoint_resume(tmp_path, net, calib_x):
+    cfg = small_cfg(ptq4vit())
+    d = str(tmp_path / "ck")
+    c1 = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4,
+                                checkpoint_dir=d)
+    q1 = c1.batching_quant_calib(verbose=False)
+    # resume: everything loaded from disk, no search run
+    c2 = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4,
+                                checkpoint_dir=d)
+    q2 = c2.batching_quant_calib(verbose=False)
+    assert len(c2.report.search_seconds) == 0
+    for n in q1:
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), q1[n], q2[n])
+
+
+def test_qstate_save_load(tmp_path, net, calib_x):
+    cfg = small_cfg(ptq4vit())
+    qstate = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4) \
+        .batching_quant_calib(verbose=False)
+    d = str(tmp_path / "qs")
+    save_qstate(d, qstate)
+    loaded = load_qstate(d)
+    assert set(loaded) == set(qstate)
+    fp = np.asarray(net.apply(jnp.asarray(calib_x[:2]), qstate=qstate))
+    lq = np.asarray(net.apply(jnp.asarray(calib_x[:2]), qstate=loaded))
+    np.testing.assert_array_equal(fp, lq)
+
+
+def test_sequential_mode(net, calib_x):
+    cfg = small_cfg(get_config("BasePTQ"))
+    qstate = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4,
+                                    sequential=True) \
+        .batching_quant_calib(verbose=False)
+    assert set(qstate) == {n for n, _ in net.op_inventory}
+
+
+def test_bias_correction_optin(net, calib_x):
+    cfg = small_cfg(ptq4vit())
+    qstate = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4) \
+        .batching_quant_calib(verbose=False)
+    params2 = apply_bias_correction(net, qstate, calib_x)
+    b0 = np.asarray(net.params["blocks"][0]["attn"]["qkv"]["bias"])
+    b1 = np.asarray(params2["blocks"][0]["attn"]["qkv"]["bias"])
+    assert not np.array_equal(b0, b1)   # correction applied
+    # original params untouched
+    assert np.array_equal(
+        b0, np.asarray(net.params["blocks"][0]["attn"]["qkv"]["bias"]))
