@@ -1,0 +1,104 @@
+"""Dataset layer tests: ImageFolder semantics, eval transform vs torchvision
+formulas, seed-3 calib subset determinism, Debug/CIFAR loaders."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ptq4vit_tpu.utils import datasets as D
+
+
+@pytest.fixture
+def imagenet_dir(tmp_path, rng):
+    for split, n in [("train", 3), ("val", 2)]:
+        for cls in ["n01", "n02"]:
+            d = tmp_path / split / cls
+            d.mkdir(parents=True)
+            for i in range(n):
+                arr = (rng.random((40, 52, 3)) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(d / f"img{i}.jpg")
+    return str(tmp_path)
+
+
+def test_eval_transform_shapes_and_norm(rng):
+    tf = D.EvalTransform(32, crop_pct=0.9, mean=(0.5, 0.5, 0.5),
+                         std=(0.5, 0.5, 0.5))
+    assert tf.scale_size == int(np.floor(32 / 0.9))
+    img = Image.fromarray((rng.random((50, 70, 3)) * 255).astype(np.uint8))
+    x = tf(img)
+    assert x.shape == (3, 32, 32)
+    # normalize semantics: ((v/255) - 0.5) / 0.5 in [-1, 1]
+    assert x.min() >= -1.0 - 1e-6 and x.max() <= 1.0 + 1e-6
+
+
+def test_imagefolder_and_loaders(imagenet_dir):
+    g = D.ImageNetLoaderGenerator(imagenet_dir, "imagenet", 4, 4, 2)
+    assert len(g.train_set) == 6 and len(g.test_set) == 4
+    assert g.train_set.class_to_idx == {"n01": 0, "n02": 1}
+    xs, ys = next(iter(g.test_loader()))
+    assert xs.shape == (4, 3, 224, 224) and xs.dtype == np.float32
+    assert set(ys.tolist()) <= {0, 1}
+
+
+def test_calib_loader_seed_determinism(imagenet_dir):
+    g1 = D.ImageNetLoaderGenerator(imagenet_dir, "imagenet", 4, 4, 2)
+    g2 = D.ImageNetLoaderGenerator(imagenet_dir, "imagenet", 4, 4, 2)
+    b1 = g1.calib_batch(num=4, seed=3)
+    b2 = g2.calib_batch(num=4, seed=3)
+    assert b1.shape == (4, 3, 224, 224)
+    np.testing.assert_array_equal(b1, b2)
+    # matches the reference's selection rule
+    np.random.seed(3)
+    inds = np.random.permutation(6)[:4]
+    base = g1._train_set_with_test_transform()
+    ref = np.stack([np.asarray(base[i][0]) for i in inds])
+    np.testing.assert_array_equal(b1, ref)
+
+
+def test_vit_loader_uses_model_data_config(imagenet_dir):
+    from ptq4vit_tpu.models import get_net
+    net = get_net("vit_small_patch16_224")
+    g = D.ViTImageNetLoaderGenerator(imagenet_dir, "imagenet", 2, 2, 2,
+                                     kwargs={"model": net})
+    assert g.test_transform.input_size == 224
+    assert g.test_transform.scale_size == int(np.floor(224 / 0.9))
+    np.testing.assert_allclose(g.test_transform.mean.ravel(), [0.5] * 3)
+
+
+def test_debug_loader():
+    g = D.DebugLoaderGenerator("/nonexistent", "debug1", 1, 1, 1)
+    x, y = next(iter(g.test_loader()))
+    assert x.shape == (1, 1, 8, 8) and (x == 1).all() and y[0] == 0
+    with pytest.raises(NotImplementedError):
+        D.DebugLoaderGenerator("/nonexistent", "debug9", 1, 1, 1)
+
+
+def test_cifar_loader(tmp_path, rng):
+    d = tmp_path / "cifar-10-batches-py"
+    d.mkdir()
+    data = (rng.random((10, 3072)) * 255).astype(np.uint8)
+    labels = list(range(10))
+    for fn in [f"data_batch_{i}" for i in range(1, 6)] + ["test_batch"]:
+        with open(d / fn, "wb") as f:
+            pickle.dump({b"data": data, b"labels": labels}, f)
+    g = D.CIFARLoaderGenerator(str(tmp_path), "cifar10", 5, 5, 1)
+    xs, ys = next(iter(g.test_loader()))
+    assert xs.shape == (5, 3, 32, 32)
+    assert len(g.train_set) == 50
+    b = g.calib_batch(num=8, seed=3)
+    assert b.shape == (8, 3, 32, 32)
+
+
+def test_get_dataset_dispatcher():
+    import argparse
+    args = argparse.Namespace(dataset="debug0")
+    train, test = D.get_dataset(args)
+    x, y = next(iter(test))
+    assert x.shape == (1, 1, 4, 4)
+
+
+def test_calculate_n_correct():
+    out = np.asarray([[0.1, 0.9], [0.8, 0.2], [0.3, 0.7]])
+    assert D.calculate_n_correct(out, np.asarray([1, 0, 0])) == 2
