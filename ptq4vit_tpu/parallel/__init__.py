@@ -1,0 +1,2 @@
+from .mesh import (Evaluator, make_mesh, replicate, shard_batch,
+                   shard_params, test_classification)
