@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Headline benchmark: full PTQ4ViT calibration (hessian metric, twin
+quantizers, eq_n=100, 3 search rounds) of ViT-B/384 with 32 calibration
+images, wall-clock minutes on one TPU chip.
+
+Reference baseline: 12 minutes on the reference's (unspecified) single GPU
+(README.md:33; BASELINE.md).  North star: < 2 minutes.  Calibration time is
+weight-independent, so synthetic weights/images time exactly what the real
+pipeline costs.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": minutes, "unit": "min", "vs_baseline": speedup}
+"""
+import json
+import os
+import sys
+import time
+
+MODEL = os.environ.get("BENCH_MODEL", "vit_base_patch16_384")
+CALIB = int(os.environ.get("BENCH_CALIB", "32"))
+BASELINE_MIN = {"vit_base_patch16_384": 12.0,
+                "vit_small_patch16_224": 3.0,
+                "vit_base_patch16_224": 4.0,
+                "swin_base_patch4_window12_384": 25.0,
+                "swin_small_patch4_window7_224": 8.0}.get(
+                    MODEL, 12.0)
+
+
+def main():
+    from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
+    from ptq4vit_tpu.configs import ptq4vit
+    from ptq4vit_tpu.models import get_net
+    from ptq4vit_tpu.utils.synthetic import synthetic_images
+
+    net = get_net(MODEL)
+    calib = synthetic_images(CALIB, net.cfg.img_size, seed=3)
+
+    t0 = time.time()
+    calibrator = HessianQuantCalibrator(net, ptq4vit(), calib,
+                                        sequential=False, batch_size=4)
+    qstate = calibrator.batching_quant_calib(verbose=False)
+    minutes = (time.time() - t0) / 60.0
+    assert len(qstate) == len(net.op_inventory)
+
+    print(json.dumps({
+        "metric": f"ptq4vit_calib_minutes_{MODEL}_{CALIB}imgs",
+        "value": round(minutes, 3),
+        "unit": "min",
+        "vs_baseline": round(BASELINE_MIN / minutes, 2),
+    }))
+    print(f"# capture {calibrator.report.capture_seconds:.1f}s, "
+          f"search {sum(calibrator.report.search_seconds.values()):.1f}s "
+          f"({len(qstate)} ops)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
