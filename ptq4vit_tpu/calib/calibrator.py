@@ -90,7 +90,8 @@ class HessianQuantCalibrator:
                  host_budget_bytes: int = 48 << 30,
                  search_budget_bytes: int = S.DEFAULT_BUDGET,
                  probe_seed: int = 3, probe_sigma: float = 1e-3,
-                 checkpoint_dir: Optional[str] = None):
+                 checkpoint_dir: Optional[str] = None,
+                 wrapped_modules: Optional[Dict[str, str]] = None):
         self.net = net
         self.cfg = quant_cfg
         self.calib_x = np.asarray(calib_x, np.float32)
@@ -101,6 +102,11 @@ class HessianQuantCalibrator:
         self.probe_seed = probe_seed
         self.probe_sigma = probe_sigma
         self.checkpoint_dir = checkpoint_dir
+        # op subset (reference wrap_certain_modules_in_net ablations);
+        # default: every quantizable op
+        self.wrapped_modules = (list(wrapped_modules.items())
+                                if wrapped_modules is not None
+                                else list(net.op_inventory))
         self.report = CalibReport(model=net.name, config=quant_cfg.name)
 
     # -- checkpoint/resume -------------------------------------------------
@@ -126,12 +132,12 @@ class HessianQuantCalibrator:
     def batching_quant_calib(self, verbose: bool = True) -> Dict[str, Any]:
         net, cfg = self.net, self.cfg
         policies = {name: cfg.op_policy(mtype)
-                    for name, mtype in net.op_inventory}
+                    for name, mtype in self.wrapped_modules}
         need_grad = any(p.metric == "hessian" for p in policies.values())
 
         qstate: Dict[str, Any] = {}
         todo = []
-        for n, t in net.op_inventory:
+        for n, t in self.wrapped_modules:
             qp = self._load_ckpt(n, t)
             if qp is None:
                 todo.append((n, t))
@@ -176,7 +182,7 @@ class HessianQuantCalibrator:
             groups[-1].append(name)
             acc += sizes[name]
 
-        mtypes = dict(net.op_inventory)
+        mtypes = dict(self.wrapped_modules)
         for group in groups:
             if not group:
                 continue

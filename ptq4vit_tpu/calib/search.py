@@ -677,9 +677,38 @@ def _conv_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
     return w_int, a_int
 
 
+def chunked_quantile(x: np.ndarray, q: float) -> float:
+    """Quantile with the reference's >=2^24-element chunking: the mean of
+    per-chunk quantiles (QuantileQuantConv2d._quantile, conv.py:111-116)."""
+    flat = np.abs(np.asarray(x)).reshape(-1)
+    if flat.size >= 16777216:
+        n = flat.size // 16777216
+        chunks = flat[:16777216 * n].reshape(n, 16777216)
+        return float(np.mean(np.quantile(chunks, q, axis=1)))
+    return float(np.quantile(flat, q))
+
+
+def quantile_conv(w, cap, policy: OpPolicy) -> ConvQP:
+    """Quantile-based conv scale init, no search (reference
+    QuantileQuantConv2d, conv.py:91-124)."""
+    w_qmax = fq.qmax_for_bit(policy.w_bit)
+    a_qmax = fq.qmax_for_bit(policy.a_bit)
+    w_int = jnp.float32(chunked_quantile(w, policy.w_quantile)
+                        / (w_qmax - 0.5))
+    a_int = None
+    if policy.a_bit < 32:
+        a_int = jnp.float32(
+            chunked_quantile(cap.inputs["x"], policy.a_quantile)
+            / (a_qmax - 0.5))
+    return ConvQP(w_interval=w_int, a_interval=a_int,
+                  w_bit=policy.w_bit, a_bit=policy.a_bit)
+
+
 def search_conv(w, b, cap, policy: OpPolicy,
                 budget: int = DEFAULT_BUDGET) -> ConvQP:
     """Calibrate the patch-embedding conv.  w: (oc, ic, kh, kw)."""
+    if policy.quantizer == "conv_quantile":
+        return quantile_conv(np.asarray(w), cap, policy)
     x = np.asarray(cap.inputs["x"], np.float32)             # S,N,icp
     raw_out = np.asarray(cap.out, np.float32)               # S,N,oc
     grad = (np.asarray(cap.grad, np.float32)

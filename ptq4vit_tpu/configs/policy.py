@@ -52,6 +52,8 @@ class OpPolicy:
     n_H_B: int = 1
     init_layerwise: bool = False
     bias_correction: bool = False
+    w_quantile: float = 0.9999   # conv_quantile variant (conv.py:91-124)
+    a_quantile: float = 0.9999
 
 
 @dataclasses.dataclass
@@ -69,6 +71,7 @@ class QuantConfig:
     no_softmax: bool = False
     no_postgelu: bool = False
     conv_channelwise: bool = True   # PTQ4ViT conv vs BasePTQ EasyQuant conv
+    conv_quantizer: Optional[str] = None  # override: "conv_quantile" etc.
 
     def __post_init__(self):
         if self.w_bit is None:
@@ -94,9 +97,11 @@ class QuantConfig:
         configs/PTQ4ViT.py:51-80)."""
         if module_type == "qconv":
             kw = self.ptqsl_conv2d_kwargs
+            quantizer = self.conv_quantizer or (
+                "conv_channelwise" if self.conv_channelwise
+                else "conv_layerwise")
             return OpPolicy(
-                quantizer=("conv_channelwise" if self.conv_channelwise
-                           else "conv_layerwise"),
+                quantizer=quantizer,
                 metric=kw["metric"], eq_alpha=kw["eq_alpha"],
                 eq_beta=kw["eq_beta"], eq_n=kw["eq_n"],
                 search_round=kw["search_round"],
