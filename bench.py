@@ -27,6 +27,13 @@ BASELINE_MIN = {"vit_base_patch16_384": 12.0,
 
 
 def main():
+    # persistent XLA compilation cache: repeat runs (and the driver's bench
+    # invocations) skip the expensive compiles
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/ptq4vit_tpu_xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
     from ptq4vit_tpu.configs import ptq4vit
     from ptq4vit_tpu.models import get_net

@@ -49,21 +49,39 @@ def _params_for_op(params: Dict[str, Any], name: str):
     return node.get("weight"), node.get("bias")
 
 
-def _tap_bytes(net, calib_n: int, need_grad: bool) -> Dict[str, int]:
-    """Host bytes of each op's full-calib-set capture (inputs+out[+grad])."""
+def _tap_bytes(net, calib_n: int, need_grad: bool,
+               store_matmul_out: bool = True) -> Dict[str, int]:
+    """Bytes of each op's full-calib-set capture (inputs+out[+grad])."""
     xb = jax.ShapeDtypeStruct((1,) + (3, net.cfg.img_size, net.cfg.img_size),
                               jnp.float32)
     _, shapes = jax.eval_shape(
         lambda p, x: net.forward(p, x, net.cfg, capture=True), net.params, xb)
+    kinds = {n: t for n, t in net.op_inventory}
     out = {}
     for name, _ in net.op_inventory:
+        is_matmul = "qmatmul" in kinds[name]
         n = 0
-        for v in jax.tree.leaves(shapes[name]):
+        for key, v in shapes[name].items():
+            if key == "out" and is_matmul and not store_matmul_out:
+                continue
             n += int(np.prod(v.shape)) * 4
         if need_grad:
             n += int(np.prod(shapes[name]["out"].shape)) * 4
         out[name] = n * calib_n
     return out
+
+
+def _device_budget_bytes(default: int = 10 << 30) -> int:
+    """Usable HBM for calibration caches: device limit minus headroom for
+    the search scratch and model params."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        limit = int(stats.get("bytes_limit", 0))
+        if limit > 0:
+            return max(1 << 30, int(limit * 0.45))
+    except Exception:
+        pass
+    return default
 
 
 @dataclasses.dataclass
@@ -87,17 +105,24 @@ class HessianQuantCalibrator:
 
     def __init__(self, net, quant_cfg: QuantConfig, calib_x: np.ndarray,
                  sequential: bool = False, batch_size: int = 4,
-                 host_budget_bytes: int = 48 << 30,
+                 cache_budget_bytes: Optional[int] = None,
                  search_budget_bytes: int = S.DEFAULT_BUDGET,
                  probe_seed: int = 3, probe_sigma: float = 1e-3,
                  checkpoint_dir: Optional[str] = None,
-                 wrapped_modules: Optional[Dict[str, str]] = None):
+                 wrapped_modules: Optional[Dict[str, str]] = None,
+                 device_resident: bool = True):
         self.net = net
         self.cfg = quant_cfg
         self.calib_x = np.asarray(calib_x, np.float32)
         self.sequential = sequential
         self.batch_size = batch_size
-        self.host_budget = host_budget_bytes
+        # calibration caches live in HBM by default (host round-trips can be
+        # catastrophically slow on tunneled/remote devices); ops are grouped
+        # so each group's caches fit the budget
+        self.device_resident = device_resident
+        self.cache_budget = (cache_budget_bytes if cache_budget_bytes
+                             else (_device_budget_bytes() if device_resident
+                                   else 48 << 30))
         self.search_budget = search_budget_bytes
         self.probe_seed = probe_seed
         self.probe_sigma = probe_sigma
@@ -171,12 +196,13 @@ class HessianQuantCalibrator:
                 self._save_ckpt(name, qp)
             return qstate
 
-        # group ops so each capture pass fits the host budget
-        sizes = _tap_bytes(net, self.calib_x.shape[0], need_grad)
+        # group ops so each capture pass fits the cache budget
+        sizes = _tap_bytes(net, self.calib_x.shape[0], need_grad,
+                           store_matmul_out=not self.device_resident)
         groups: List[List[str]] = [[]]
         acc = 0
         for name, _ in todo:
-            if groups[-1] and acc + sizes[name] > self.host_budget:
+            if groups[-1] and acc + sizes[name] > self.cache_budget:
                 groups.append([])
                 acc = 0
             groups[-1].append(name)
@@ -189,21 +215,26 @@ class HessianQuantCalibrator:
             t0 = time.time()
             raw = capture(net, self.calib_x, batch_size=self.batch_size,
                           need_grad=need_grad, probe_seed=self.probe_seed,
-                          probe_sigma=self.probe_sigma, ops=group)
+                          probe_sigma=self.probe_sigma, ops=group,
+                          to_host=not self.device_resident,
+                          store_matmul_out=not self.device_resident)
             self.report.capture_seconds += time.time() - t0
             for name in group:
                 mtype = mtypes[name]
                 t0 = time.time()
                 qp = self._search_one(name, mtype, policies[name], raw[name])
-                qp = jax.tree.map(lambda a: a.block_until_ready()
-                                  if hasattr(a, "block_until_ready") else a, qp)
+                # searches dispatch async; per-op timing here reflects
+                # dispatch + any compile, not device occupancy
                 self.report.search_seconds[name] = time.time() - t0
                 qstate[name] = qp
                 self._save_ckpt(name, qp)
-                raw[name] = None  # free host memory eagerly
+                raw[name] = None  # free the group caches eagerly
                 if verbose:
                     print(f"[calib] {name}: "
-                          f"{self.report.search_seconds[name]:.2f}s")
+                          f"{self.report.search_seconds[name]:.2f}s",
+                          flush=True)
+            # block before the next group's capture reuses the HBM
+            jax.block_until_ready([qstate[n] for n in group])
         return qstate
 
     def _search_one(self, name: str, mtype: str, policy, cap):

@@ -40,7 +40,8 @@ class OpCapture:
     raw_out / raw_grad caches, quant_calib.py:343-354)."""
     kind: str
     inputs: Dict[str, np.ndarray]   # linear/conv: {"x"}; matmul: {"a","b"}
-    out: np.ndarray
+    out: Optional[np.ndarray] = None   # None for matmuls captured with
+                                       # store_matmul_out=False (== A@B)
     grad: Optional[np.ndarray] = None
 
 
@@ -65,7 +66,9 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
             probe_sigma: float = 1e-3,
             ops: Optional[Sequence[str]] = None,
             qstate: Optional[Dict] = None,
-            target_probs: Optional[np.ndarray] = None) -> Dict[str, OpCapture]:
+            target_probs: Optional[np.ndarray] = None,
+            to_host: bool = True,
+            store_matmul_out: bool = True) -> Dict[str, OpCapture]:
     """Run the capture pass over the calibration set.
 
     net: models.registry.Net;  calib_x: (num, 3, H, W) float32 host array.
@@ -80,10 +83,18 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
     target_probs: precomputed probe target distribution; when given, the
        target pass is skipped (sequential mode computes it once on the raw
        net, reference quant_calib.py:309-313).
+    to_host: True -> numpy caches (reference parity: CPU tensors,
+       quant_calib.py:178-201).  False -> the caches stay DEVICE-resident
+       (jnp arrays, concatenated in HBM) — the production TPU path: host
+       round-trips on a tunneled/remote device run at ~MB/s, so calibration
+       data must never leave the chip.
+    store_matmul_out: False drops matmul raw_out from the caches (it equals
+       A@B exactly — the search recomputes it per batch-chunk, saving the
+       largest HBM tenants: the (S,H,N,N) attention-score outputs).
 
-    Returns {op name: OpCapture} with float32 numpy arrays whose leading axis
-    is the calibration-sample axis (for Swin matmuls: samples × windows,
-    matching the reference's cache-concat semantics, quant_calib.py:350).
+    Returns {op name: OpCapture} whose leading axis is the
+    calibration-sample axis (for Swin matmuls: samples × windows, matching
+    the reference's cache-concat semantics, quant_calib.py:350).
     """
     params, cfg, fwd = net.params, net.cfg, net.forward
     num = calib_x.shape[0]
@@ -142,22 +153,29 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
         xb = jnp.asarray(calib_x[s:s + batch_size])
         tb = (jnp.asarray(target_all[s:s + batch_size])
               if need_grad else None)
-        taps, grads = jax.device_get(step(params, xb, tb))
+        taps, grads = step(params, xb, tb)
+        if to_host:
+            taps, grads = jax.device_get((taps, grads))
         for n in names:
             rec = {k: taps[n][k] for k in TAP_FIELDS[kinds[n]]}
-            rec["out"] = taps[n]["out"]
+            if store_matmul_out or kinds[n] != "matmul":
+                rec["out"] = taps[n]["out"]
             if grads is not None:
                 rec["grad"] = grads[n]
             chunks[n].append(rec)
 
+    cat = np.concatenate if to_host else jnp.concatenate
     result: Dict[str, OpCapture] = {}
     for n in names:
         kind = kinds[n]
+        keep_out = store_matmul_out or kind != "matmul"
         result[n] = OpCapture(
             kind=kind,
-            inputs={k: np.concatenate([c[k] for c in chunks[n]], axis=0)
+            inputs={k: cat([c[k] for c in chunks[n]], axis=0)
                     for k in TAP_FIELDS[kind]},
-            out=np.concatenate([c["out"] for c in chunks[n]], axis=0),
-            grad=(np.concatenate([c["grad"] for c in chunks[n]], axis=0)
+            out=(cat([c["out"] for c in chunks[n]], axis=0)
+                 if keep_out else None),
+            grad=(cat([c["grad"] for c in chunks[n]], axis=0)
                   if need_grad else None))
+        chunks[n] = None  # free the per-batch refs promptly
     return result

@@ -303,21 +303,20 @@ def _pearson_a(raw, sim):
 
 def search_linear(w, b, cap, policy: OpPolicy,
                   budget: int = DEFAULT_BUDGET) -> LinearQP:
-    """Calibrate a linear op from captured raw data."""
-    x = np.asarray(cap.inputs["x"], np.float32)
-    raw_out = np.asarray(cap.out, np.float32)
+    """Calibrate a linear op from captured raw data (host or device)."""
+    x = jnp.asarray(cap.inputs["x"])
+    raw_out = jnp.asarray(cap.out)
     S, ic = x.shape[0], x.shape[-1]
     oc = raw_out.shape[-1]
     T = int(np.prod(x.shape[1:-1])) if x.ndim > 2 else 1
     x = x.reshape(S, T, ic)
     raw_out = raw_out.reshape(S, T, oc)
-    grad = (np.asarray(cap.grad, np.float32).reshape(S, T, oc)
+    grad = (jnp.asarray(cap.grad).reshape(S, T, oc)
             if policy.metric == "hessian" else None)
     P, bs = plan_chunks(policy.eq_n, S, T * oc, budget)
     w_int, a_int = _linear_search_jit(
         jnp.asarray(w), None if b is None else jnp.asarray(b),
-        jnp.asarray(x), jnp.asarray(raw_out),
-        None if grad is None else jnp.asarray(grad), policy, P, bs)
+        x, raw_out, grad, policy, P, bs)
     postgelu = policy.quantizer == "postgelu_linear"
     a_qmax = fq.qmax_for_bit(policy.a_bit)
     return LinearQP(
@@ -345,6 +344,11 @@ def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
     sos = policy.quantizer == "sos_matmul"
     A_qmax = fq.qmax_for_bit(policy.a_bit)
     B_qmax = fq.qmax_for_bit(policy.b_bit)
+    A = A.astype(jnp.float32)
+    B = B.astype(jnp.float32)
+    recompute_raw = raw_out is None   # raw_out == A@B exactly; recomputing
+                                      # per batch-chunk frees the largest
+                                      # HBM tenant (device-resident mode)
     if raw_grad is None:
         raw_grad = jnp.zeros((1, 1, 1, 1), jnp.float32)
 
@@ -375,9 +379,17 @@ def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
 
     Ab = _chunk_batch(A, bs)
     Bb = _chunk_batch(B, bs)
-    rb = _chunk_batch(raw_out, bs)
-    gb = (_chunk_batch(raw_grad, bs) if policy.metric == "hessian"
+    rb = (jnp.zeros((Ab.shape[0], 1, 1, 1, 1), jnp.float32) if recompute_raw
+          else _chunk_batch(raw_out.astype(jnp.float32), bs))
+    gb = (_chunk_batch(raw_grad.astype(jnp.float32), bs)
+          if policy.metric == "hessian"
           else jnp.zeros((Ab.shape[0], 1, 1, 1, 1), jnp.float32))
+
+    def get_raw(a_s, b_s, r_s):
+        if recompute_raw:
+            return jnp.einsum("bgrc,bgco->bgro", a_s, b_s,
+                              preferred_element_type=jnp.float32)
+        return r_s
 
     def quant_A(a, a_state):
         if sos:
@@ -409,7 +421,7 @@ def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
                     A_sim = fq.sos_quant_softmax(a_s, sp, A_qmax)
                     out = jnp.einsum("bgrc,bgco->bgro", A_sim, b_s,
                                      preferred_element_type=jnp.float32)
-                    raw = r_s
+                    raw = get_raw(a_s, b_s, r_s)
                     gc = g_s if policy.metric == "hessian" else None
                     sim = _feature_similarity(raw, out, policy.metric, gc,
                                               axis=-1)     # bs,G,R
@@ -427,7 +439,8 @@ def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
         def cand_body(_, ac):                              # P,1,n_G,1,1,1,1,1
             cur = ac                                       # n_V=n_H=1: whole
             def batch_body(acc, inp):
-                a_s, b_s, r_s, g_s = inp
+                a_s, b_raw, b_s, r_s, g_s = inp
+                raw = get_raw(a_s, b_raw, r_s)
                 blocked = a_s.reshape(1, bs, n_G, G // n_G, R, Ci)
                 q = jnp.clip(jnp.round(
                     blocked / cur.reshape(P, 1, n_G, 1, 1, 1)),
@@ -435,9 +448,9 @@ def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
                 A_sim = q.reshape(P, bs, G, R, Ci)
                 out = jnp.einsum("pbgrc,bgco->pbgro", A_sim, b_s,
                                  preferred_element_type=jnp.float32)
-                return acc + _sim_reduce(out, r_s, g_s), None
+                return acc + _sim_reduce(out, raw, g_s), None
             s, _ = jax.lax.scan(batch_body, jnp.zeros((P, G)),
-                                (Ab, B_simb, rb, gb))
+                                (Ab, Bb, B_simb, rb, gb))
             return None, s
         _, sims = jax.lax.scan(cand_body, None, A_cands_c)
         sims = sims.reshape(-1, G)[:eq_n]
@@ -451,7 +464,8 @@ def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
         def cand_body(_, bc):
             cur = bc
             def batch_body(acc, inp):
-                a_s, b_s, r_s, g_s = inp
+                a_raw, a_s, b_s, r_s, g_s = inp
+                raw = get_raw(a_raw, b_s, r_s)
                 blocked = b_s.reshape(1, bs, n_G, G // n_G, Ci, Co)
                 q = jnp.clip(jnp.round(
                     blocked / cur.reshape(P, 1, n_G, 1, 1, 1)),
@@ -459,9 +473,9 @@ def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
                 B_sim = q.reshape(P, bs, G, Ci, Co)
                 out = jnp.einsum("bgrc,pbgco->pbgro", a_s, B_sim,
                                  preferred_element_type=jnp.float32)
-                return acc + _sim_reduce(out, r_s, g_s), None
+                return acc + _sim_reduce(out, raw, g_s), None
             s, _ = jax.lax.scan(batch_body, jnp.zeros((P, G)),
-                                (A_simb, Bb, rb, gb))
+                                (Ab, A_simb, Bb, rb, gb))
             return None, s
         _, sims = jax.lax.scan(cand_body, None, B_cands_c)
         sims = sims.reshape(-1, G)[:eq_n]
@@ -492,11 +506,13 @@ def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
 
 def search_matmul(cap, policy: OpPolicy,
                   budget: int = DEFAULT_BUDGET) -> MatMulQP:
-    """Calibrate an A@B op from captured raw data (head-wise groups)."""
-    A = np.asarray(cap.inputs["a"], np.float32)
-    B = np.asarray(cap.inputs["b"], np.float32)
-    raw_out = np.asarray(cap.out, np.float32)
-    grad = (np.asarray(cap.grad, np.float32)
+    """Calibrate an A@B op from captured raw data (head-wise groups).
+    Accepts host or device arrays; ``cap.out=None`` recomputes raw_out as
+    A@B inside the search (exact — same op, same operands)."""
+    A = jnp.asarray(cap.inputs["a"])
+    B = jnp.asarray(cap.inputs["b"])
+    raw_out = None if cap.out is None else jnp.asarray(cap.out)
+    grad = (jnp.asarray(cap.grad)
             if policy.metric == "hessian" else None)
     S, G, R, _ = A.shape
     Co = B.shape[-1]
@@ -508,8 +524,7 @@ def search_matmul(cap, policy: OpPolicy,
     P, bs = plan_chunks(policy.eq_n, S, G * R * Co, budget)
     sos = policy.quantizer == "sos_matmul"
     a_state, B_int = _matmul_search_jit(
-        jnp.asarray(A), jnp.asarray(B), jnp.asarray(raw_out),
-        None if grad is None else jnp.asarray(grad), policy, P, bs, G)
+        A, B, raw_out, grad, policy, P, bs, G)
     A_qmax = fq.qmax_for_bit(policy.a_bit)
     if sos:
         return MatMulQP(A_interval=a_state / (A_qmax - 1), B_interval=B_int,
@@ -709,19 +724,18 @@ def search_conv(w, b, cap, policy: OpPolicy,
     """Calibrate the patch-embedding conv.  w: (oc, ic, kh, kw)."""
     if policy.quantizer == "conv_quantile":
         return quantile_conv(np.asarray(w), cap, policy)
-    x = np.asarray(cap.inputs["x"], np.float32)             # S,N,icp
-    raw_out = np.asarray(cap.out, np.float32)               # S,N,oc
-    grad = (np.asarray(cap.grad, np.float32)
+    x = jnp.asarray(cap.inputs["x"])                        # S,N,icp
+    raw_out = jnp.asarray(cap.out)                          # S,N,oc
+    grad = (jnp.asarray(cap.grad)
             if policy.metric == "hessian" else None)
     oc = w.shape[0]
-    wm = np.asarray(w, np.float32).reshape(oc, -1)
+    wm = jnp.asarray(w).reshape(oc, -1)
     S, N, _ = x.shape
     channelwise = policy.quantizer == "conv_channelwise"
     P, bs = plan_chunks(policy.eq_n, S, N * oc, budget)
     w_int, a_int = _conv_search_jit(
-        jnp.asarray(wm), None if b is None else jnp.asarray(b),
-        jnp.asarray(x), jnp.asarray(raw_out),
-        None if grad is None else jnp.asarray(grad), policy, P, bs,
+        wm, None if b is None else jnp.asarray(b),
+        x, raw_out, grad, policy, P, bs,
         channelwise)
     # store conv-layout interval: (oc,1,1,1) channelwise, scalar layerwise
     if channelwise:

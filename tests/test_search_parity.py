@@ -331,3 +331,24 @@ def test_conv_search_parity(rng, channelwise, metric):
     got = np.asarray(qp.w_interval).reshape(-1)
     np.testing.assert_allclose(got, ref.reshape(-1), rtol=1e-6)
     assert qp.a_interval is None  # a_bit=32 -> activation quant off
+
+
+def test_matmul_search_recompute_raw_out_equivalent(rng):
+    """cap.out=None (device-resident mode) must give identical intervals —
+    raw_out is recomputed as A@B inside the search."""
+    pol = _mpol(metric="hessian")
+    S_, G, R, Ci, Co = 4, 3, 6, 5, 7
+    A = rng.standard_normal((S_, G, R, Ci)).astype(np.float32)
+    B = rng.standard_normal((S_, G, Ci, Co)).astype(np.float32)
+    raw_out = np.einsum("sgrc,sgco->sgro", A, B).astype(np.float32)
+    grad = rng.standard_normal(raw_out.shape).astype(np.float32)
+    qp1 = S.search_matmul(OpCapture(kind="matmul",
+                                    inputs={"a": A, "b": B},
+                                    out=raw_out, grad=grad), pol)
+    qp2 = S.search_matmul(OpCapture(kind="matmul",
+                                    inputs={"a": A, "b": B},
+                                    out=None, grad=grad), pol)
+    np.testing.assert_array_equal(np.asarray(qp1.A_interval),
+                                  np.asarray(qp2.A_interval))
+    np.testing.assert_array_equal(np.asarray(qp1.B_interval),
+                                  np.asarray(qp2.B_interval))
