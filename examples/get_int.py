@@ -18,6 +18,10 @@ def get_int_weights(name="vit_base_patch16_384", config="PTQ4ViT",
     from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
     from ptq4vit_tpu.utils import integer as I
     quant_cfg = init_config(config)
+    if getattr(args, "quick", False):
+        for kw in (quant_cfg.ptqsl_conv2d_kwargs, quant_cfg.ptqsl_linear_kwargs,
+                   quant_cfg.ptqsl_matmul_kwargs):
+            kw.update(eq_n=8, search_round=1)
     net, _, calib = build_net_and_data(name, args, args.calib_size)
     calibrator = HessianQuantCalibrator(net, quant_cfg, calib,
                                         sequential=False, batch_size=4)
