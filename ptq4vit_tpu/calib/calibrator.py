@@ -196,6 +196,19 @@ class HessianQuantCalibrator:
                 self._save_ckpt(name, qp)
             return qstate
 
+        # probe target once for all groups (quant_calib.py:309-313)
+        target = None
+        if need_grad:
+            from .capture import probe_target
+            logits_fn = jax.jit(lambda p, x: net.forward(p, x, net.cfg))
+            nb = 8
+            raw_logits = np.concatenate([
+                np.asarray(logits_fn(net.params,
+                                     jnp.asarray(self.calib_x[s0:s0 + nb])))
+                for s0 in range(0, len(self.calib_x), nb)])
+            target = probe_target(raw_logits, self.probe_seed,
+                                  self.probe_sigma)
+
         # group ops so each capture pass fits the cache budget
         sizes = _tap_bytes(net, self.calib_x.shape[0], need_grad,
                            store_matmul_out=not self.device_resident)
@@ -217,7 +230,8 @@ class HessianQuantCalibrator:
                           need_grad=need_grad, probe_seed=self.probe_seed,
                           probe_sigma=self.probe_sigma, ops=group,
                           to_host=not self.device_resident,
-                          store_matmul_out=not self.device_resident)
+                          store_matmul_out=not self.device_resident,
+                          target_probs=target)
             self.report.capture_seconds += time.time() - t0
             for name in group:
                 mtype = mtypes[name]

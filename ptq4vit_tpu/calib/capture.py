@@ -127,55 +127,65 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
     eps_zeros = {n: jnp.zeros(tap_shapes[n]["out"].shape, jnp.float32)
                  for n in names}
 
-    if need_grad:
-        def step(p, xb, tb):
-            def loss_fn(eps):
-                logits, taps = fwd(p, xb, cfg, qstate=qstate, eps=eps,
-                                   capture=True)
-                taps = {n: taps[n] for n in name_set}
-                return _kl_batchmean(logits, tb), taps
-            (_, taps), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(eps_zeros)
-            return taps, grads
-    else:
-        def step(p, xb, tb):
-            _, taps = fwd(p, xb, cfg, qstate=qstate, capture=True)
-            return {n: taps[n] for n in name_set}, None
-    step = jax.jit(step)
-
     kinds = {}
     for n, mtype in net.op_inventory:
         kinds[n] = ("conv" if mtype == "qconv"
                     else "matmul" if "qmatmul" in mtype else "linear")
 
-    chunks: Dict[str, List[Dict[str, np.ndarray]]] = {n: [] for n in names}
-    for s in range(0, num, batch_size):
-        xb = jnp.asarray(calib_x[s:s + batch_size])
-        tb = (jnp.asarray(target_all[s:s + batch_size])
-              if need_grad else None)
-        taps, grads = step(params, xb, tb)
-        if to_host:
-            taps, grads = jax.device_get((taps, grads))
+    def filter_taps(taps):
+        """Keep only the requested ops/fields (drops matmul outs when they
+        will be recomputed)."""
+        out = {}
         for n in names:
             rec = {k: taps[n][k] for k in TAP_FIELDS[kinds[n]]}
             if store_matmul_out or kinds[n] != "matmul":
                 rec["out"] = taps[n]["out"]
-            if grads is not None:
-                rec["grad"] = grads[n]
-            chunks[n].append(rec)
+            out[n] = rec
+        return out
 
-    cat = np.concatenate if to_host else jnp.concatenate
+    def step(p, xb, tb):
+        if need_grad:
+            def loss_fn(eps):
+                logits, taps = fwd(p, xb, cfg, qstate=qstate, eps=eps,
+                                   capture=True)
+                return _kl_batchmean(logits, tb), filter_taps(taps)
+            (_, taps), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(eps_zeros)
+            for n in names:
+                taps[n]["grad"] = grads[n]
+            return taps
+        _, taps = fwd(p, xb, cfg, qstate=qstate, capture=True)
+        return filter_taps(taps)
+
+    # ONE jitted scan over all micro-batches: outputs come back stacked as
+    # (n_micro, bs, ...) and are flattened in the same program.  A single
+    # dispatch/compile per capture pass — per-op concatenates would cost
+    # hundreds of tiny dispatches on a high-latency (tunneled) device.
+    @jax.jit
+    def capture_all(p, x_all, t_all):
+        def body(_, inp):
+            xb, tb = inp
+            return None, step(p, xb, tb)
+        _, stacked = jax.lax.scan(body, None, (x_all, t_all))
+        return jax.tree.map(
+            lambda a: a.reshape((-1,) + a.shape[2:]), stacked)
+
+    x_all = jnp.asarray(calib_x).reshape(
+        (num // batch_size, batch_size) + calib_x.shape[1:])
+    t_all = (jnp.asarray(target_all).reshape(
+        num // batch_size, batch_size, -1) if need_grad
+        else jnp.zeros((num // batch_size, batch_size, 1), jnp.float32))
+    flat = capture_all(params, x_all, t_all)
+    if to_host:
+        flat = jax.device_get(flat)
+
     result: Dict[str, OpCapture] = {}
     for n in names:
         kind = kinds[n]
-        keep_out = store_matmul_out or kind != "matmul"
+        rec = flat[n]
         result[n] = OpCapture(
             kind=kind,
-            inputs={k: cat([c[k] for c in chunks[n]], axis=0)
-                    for k in TAP_FIELDS[kind]},
-            out=(cat([c["out"] for c in chunks[n]], axis=0)
-                 if keep_out else None),
-            grad=(cat([c["grad"] for c in chunks[n]], axis=0)
-                  if need_grad else None))
-        chunks[n] = None  # free the per-batch refs promptly
+            inputs={k: rec[k] for k in TAP_FIELDS[kind]},
+            out=rec.get("out"),
+            grad=rec.get("grad"))
     return result
