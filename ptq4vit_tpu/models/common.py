@@ -33,10 +33,14 @@ class QuantCtx:
     def __init__(self,
                  qstate: Optional[Dict[str, Any]] = None,
                  eps: Optional[Dict[str, Any]] = None,
-                 capture: bool = False):
+                 capture: bool = False,
+                 int8: bool = False):
         self.qstate = qstate or {}
         self.eps = eps
         self.capture = capture
+        # int8=True executes quantized ops as int8 MXU matmuls (exact
+        # realization of the fake-quant semantics; see ops/int8.py)
+        self.int8 = int8
         self.taps: Dict[str, Dict[str, Any]] = {}
 
     def _post(self, name, out, tap):
@@ -50,13 +54,23 @@ class QuantCtx:
     def linear(self, name, x, w, b):
         """Quantizable linear; tap records input and output
         (reference linear_forward_hook, quant_calib.py:178)."""
-        out = apply_linear(x, w, b, self.qstate.get(name))
+        qp = self.qstate.get(name)
+        if qp is not None and self.int8:
+            from ..ops.int8 import linear_int8
+            out = linear_int8(x, w, b, qp)
+        else:
+            out = apply_linear(x, w, b, qp)
         return self._post(name, out, {"x": x})
 
     def matmul(self, name, a, b):
         """Quantizable A@B; tap records both operands
         (reference matmul_forward_hook, quant_calib.py:194)."""
-        out = apply_matmul(a, b, self.qstate.get(name))
+        qp = self.qstate.get(name)
+        if qp is not None and self.int8:
+            from ..ops.int8 import matmul_int8
+            out = matmul_int8(a, b, qp)
+        else:
+            out = apply_matmul(a, b, qp)
         return self._post(name, out, {"a": a, "b": b})
 
     def conv2d_patch(self, name, x, w, b, patch: int):
@@ -73,7 +87,7 @@ class QuantCtx:
         search a pure matmul on the MXU.
         """
         qp = self.qstate.get(name)
-        if qp is not None:
+        if qp is not None and not self.int8:
             w = qp.quant_weight(w)
             x = qp.quant_input(x)
         B, C, H, W = x.shape
@@ -83,10 +97,14 @@ class QuantCtx:
         # ordering matches w.reshape(oc, ic*p*p)
         xp = x.reshape(B, C, nh, patch, nw, patch)
         xp = xp.transpose(0, 2, 4, 1, 3, 5).reshape(B, nh * nw, C * patch * patch)
-        out = jnp.matmul(xp, w.reshape(oc, -1).T,
-                         preferred_element_type=jnp.float32)
-        if b is not None:
-            out = out + b
+        if qp is not None and self.int8:
+            from ..ops.int8 import conv_int8
+            out = conv_int8(xp, w, b, qp, patch)
+        else:
+            out = jnp.matmul(xp, w.reshape(oc, -1).T,
+                             preferred_element_type=jnp.float32)
+            if b is not None:
+                out = out + b
         out = self._post(name, out, {"x": xp})
         return out, (nh, nw)
 

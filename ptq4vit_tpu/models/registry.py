@@ -92,9 +92,9 @@ class Net:
     op_shapes: Dict[str, Any]
     data_config: DataConfig
 
-    def apply(self, x, qstate=None, eps=None, capture=False):
+    def apply(self, x, qstate=None, eps=None, capture=False, int8=False):
         return self.forward(self.params, x, self.cfg, qstate=qstate, eps=eps,
-                            capture=capture)
+                            capture=capture, int8=int8)
 
 
 def model_config(name: str):

@@ -208,9 +208,10 @@ def _window_attention(ctx: QuantCtx, prefix: str, x, attn_p, heads: int,
 def forward(params: Dict[str, Any], x, cfg: SwinConfig,
             qstate: Optional[Dict[str, Any]] = None,
             eps: Optional[Dict[str, Any]] = None,
-            capture: bool = False):
+            capture: bool = False,
+            int8: bool = False):
     """Swin forward.  x: (B, 3, H, W) NCHW float32."""
-    ctx = QuantCtx(qstate=qstate, eps=eps, capture=capture)
+    ctx = QuantCtx(qstate=qstate, eps=eps, capture=capture, int8=int8)
     B = x.shape[0]
     pe = params["patch_embed"]
     x, _ = ctx.conv2d_patch("patch_embed.proj", x, pe["proj"]["weight"],

@@ -98,12 +98,13 @@ def init_params(rng: jax.Array, cfg: ViTConfig) -> Dict[str, Any]:
 def forward(params: Dict[str, Any], x, cfg: ViTConfig,
             qstate: Optional[Dict[str, Any]] = None,
             eps: Optional[Dict[str, Any]] = None,
-            capture: bool = False):
+            capture: bool = False,
+            int8: bool = False):
     """ViT forward.  x: (B, 3, H, W) NCHW float32.
 
     Returns logits, or (logits, taps) when ``capture``.
     """
-    ctx = QuantCtx(qstate=qstate, eps=eps, capture=capture)
+    ctx = QuantCtx(qstate=qstate, eps=eps, capture=capture, int8=int8)
     B = x.shape[0]
     d, H = cfg.embed_dim, cfg.num_heads
     scale = cfg.head_dim ** -0.5

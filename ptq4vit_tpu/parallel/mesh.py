@@ -85,7 +85,8 @@ class Evaluator:
     (reference test_classification, example/test_vit.py:26-45)."""
 
     def __init__(self, net, qstate: Optional[Dict[str, Any]] = None,
-                 mesh: Optional[Mesh] = None, tensor_parallel: bool = False):
+                 mesh: Optional[Mesh] = None, tensor_parallel: bool = False,
+                 int8: bool = False):
         self.net = net
         self.qstate = qstate
         self.mesh = mesh
@@ -98,7 +99,8 @@ class Evaluator:
         self._qstate = qstate
 
         def step(params, qstate, x, y):
-            logits = net.forward(params, x, net.cfg, qstate=qstate)
+            logits = net.forward(params, x, net.cfg, qstate=qstate,
+                                 int8=int8)
             return jax.numpy.sum(jax.numpy.argmax(logits, -1) == y)
 
         self._step = jax.jit(step)
