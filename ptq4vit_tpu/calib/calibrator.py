@@ -71,14 +71,16 @@ def _tap_bytes(net, calib_n: int, need_grad: bool,
     return out
 
 
-def _device_budget_bytes(default: int = 10 << 30) -> int:
-    """Usable HBM for calibration caches: device limit minus headroom for
-    the search scratch and model params."""
+def _device_budget_bytes(default: int = 6 << 30) -> int:
+    """Usable HBM for the per-group calibration caches.  Headroom must cover
+    the capture fwd+bwd workspace, the search out_sim scratch
+    (search.DEFAULT_BUDGET), params, and XLA fragmentation — ~0.35 of a
+    16 GB chip is a safe cache share."""
     try:
-        stats = jax.local_devices()[0].memory_stats()
+        stats = jax.local_devices()[0].memory_stats() or {}
         limit = int(stats.get("bytes_limit", 0))
         if limit > 0:
-            return max(1 << 30, int(limit * 0.45))
+            return max(1 << 30, int(limit * 0.35))
     except Exception:
         pass
     return default
