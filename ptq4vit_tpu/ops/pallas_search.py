@@ -1,0 +1,99 @@
+"""Pallas TPU kernel: fused candidate-scored linear search.
+
+The XLA path of the weight-interval search materializes
+``out_sim = x_sim @ W_pᵀ`` for P candidates — an (M, P, oc) fp32 tensor
+written to and re-read from HBM just to be reduced into P scalars
+(calib/search.py score_w).  This kernel fuses quantize(W; Δ_p) → matmul →
+hessian similarity → reduction entirely in VMEM: HBM traffic drops from
+O(M·P·oc) to O(P·(M·ic + M·oc + oc·ic) tile reads), and the MXU never waits
+on the writeback.
+
+Scope: the production-config case (n_V = n_H = 1, hessian metric —
+configs/PTQ4ViT.py:16-48 in hahnyuan/PTQ4ViT).  The general blocked cases
+stay on the XLA path (calib/search.py).
+
+The kernel computes ``sims[p] = -Σ_{m,o} (g·(raw' − x@Q(W;Δ_p)ᵀ))²`` with
+raw' = raw − bias pre-subtracted; the caller rescales by 1/(T·oc) to match
+the reference's mean-then-sum reduction (a uniform positive factor —
+argmax-invariant).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _kernel(cand_ref, x_ref, w_ref, raw_ref, g_ref, out_ref, *, qmax: int):
+    m = pl.program_id(1)
+    o = pl.program_id(2)
+    delta = cand_ref[0, 0]
+    w_sim = jnp.clip(jnp.round(w_ref[:] / delta), -qmax, qmax - 1) * delta
+    out = jax.lax.dot_general(
+        x_ref[:], w_sim, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # TM, TO
+    d = g_ref[:] * (raw_ref[:] - out)
+    part = -jnp.sum(d * d)
+
+    @pl.when((m == 0) & (o == 0))
+    def _():
+        out_ref[0, 0] = 0.0
+
+    out_ref[0, 0] += part
+
+
+@functools.partial(jax.jit, static_argnames=("qmax", "interpret"))
+def linear_w_hessian_sims(x_sim, w, cands, raw_minus_bias, grad,
+                          qmax: int, interpret: bool = False):
+    """Fused scorer.
+
+    x_sim:          (M, ic) already input-quantized activations
+    w:              (oc, ic) fp32 weight
+    cands:          (P,) candidate scale values (layerwise, n_V = n_H = 1)
+    raw_minus_bias: (M, oc) FP32 reference output with bias pre-subtracted
+    grad:           (M, oc) ∂L/∂out
+    Returns (P,) float32 un-normalized similarity sums.
+    """
+    M, ic = x_sim.shape
+    oc = w.shape[0]
+    P = cands.shape[0]
+
+    TM, TO = 512, 256
+    Mp, ocp, icp = _round_up(M, TM), _round_up(oc, TO), _round_up(ic, 128)
+    # zero padding is exact: padded grad rows/cols contribute 0 to the sum,
+    # padded ic columns multiply zero weights
+    x_sim = jnp.pad(x_sim, ((0, Mp - M), (0, icp - ic)))
+    w = jnp.pad(w, ((0, ocp - oc), (0, icp - ic)))
+    raw_minus_bias = jnp.pad(raw_minus_bias, ((0, Mp - M), (0, ocp - oc)))
+    grad = jnp.pad(grad, ((0, Mp - M), (0, ocp - oc)))
+
+    grid = (P, Mp // TM, ocp // TO)
+    sims = pl.pallas_call(
+        functools.partial(_kernel, qmax=qmax),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda p, m, o: (p, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((TM, icp), lambda p, m, o: (m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TO, icp), lambda p, m, o: (o, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TO), lambda p, m, o: (m, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TO), lambda p, m, o: (m, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda p, m, o: (p, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((P, 1), jnp.float32),
+        interpret=interpret,
+    )(cands.reshape(P, 1).astype(jnp.float32), x_sim, w,
+      raw_minus_bias, grad)
+    return sims[:, 0]
