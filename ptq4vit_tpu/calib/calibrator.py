@@ -71,7 +71,7 @@ def _tap_bytes(net, calib_n: int, need_grad: bool,
     return out
 
 
-def _device_budget_bytes(default: int = 6 << 30) -> int:
+def _device_budget_bytes(default: int = 8 << 30) -> int:
     """Usable HBM for the per-group calibration caches.  Headroom must cover
     the capture fwd+bwd workspace, the search out_sim scratch
     (search.DEFAULT_BUDGET), params, and XLA fragmentation — ~0.35 of a
@@ -80,7 +80,7 @@ def _device_budget_bytes(default: int = 6 << 30) -> int:
         stats = jax.local_devices()[0].memory_stats() or {}
         limit = int(stats.get("bytes_limit", 0))
         if limit > 0:
-            return max(1 << 30, int(limit * 0.35))
+            return max(1 << 30, int(limit * 0.45))
     except Exception:
         pass
     return default

@@ -118,14 +118,15 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
     else:
         target_all = None
 
-    # ---- eps skeleton from tap output shapes (static)
+    # ---- eps skeleton from tap output shapes (static); the zeros are
+    # created INSIDE the jitted program (device-side fill) so they are
+    # neither baked into the executable as constants nor shipped per call
     xb_spec = jax.ShapeDtypeStruct((batch_size,) + calib_x.shape[1:],
                                    jnp.float32)
     _, tap_shapes = jax.eval_shape(
         lambda p, x: fwd(p, x, cfg, qstate=qstate, capture=True),
         params, xb_spec)
-    eps_zeros = {n: jnp.zeros(tap_shapes[n]["out"].shape, jnp.float32)
-                 for n in names}
+    eps_shapes = {n: tap_shapes[n]["out"].shape for n in names}
 
     kinds = {}
     for n, mtype in net.op_inventory:
@@ -145,6 +146,8 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
 
     def step(p, xb, tb):
         if need_grad:
+            eps_zeros = {n: jnp.zeros(sh, jnp.float32)
+                         for n, sh in eps_shapes.items()}
             def loss_fn(eps):
                 logits, taps = fwd(p, xb, cfg, qstate=qstate, eps=eps,
                                    capture=True)
