@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Serving-throughput benchmark: quantized ViT-B/384 inference, fp32
+fake-quant path vs true-int8 MXU path vs raw FP32 (images/s, on-device
+steady state — input transfer excluded so the number reflects the chip, not
+the sandbox tunnel)."""
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/ptq4vit_tpu_xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from ptq4vit_tpu.configs import ptq4vit
+    from ptq4vit_tpu.models import get_net
+    from ptq4vit_tpu.utils.synthetic import synthetic_qstate
+
+    model = os.environ.get("BENCH_MODEL", "vit_base_patch16_384")
+    bs = int(os.environ.get("BENCH_BS", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    net = get_net(model)
+    qstate = synthetic_qstate(net, ptq4vit())
+    x = jax.device_put(jnp.zeros((bs, 3, net.cfg.img_size, net.cfg.img_size),
+                                 jnp.float32))
+
+    def timed(fn):
+        f = jax.jit(fn)
+        f(net.params, x).block_until_ready()          # compile
+        t0 = time.time()
+        for _ in range(iters):
+            r = f(net.params, x)
+        r.block_until_ready()
+        return bs * iters / (time.time() - t0)
+
+    fp32 = timed(lambda p, xx: net.forward(p, xx, net.cfg))
+    fake = timed(lambda p, xx: net.forward(p, xx, net.cfg, qstate=qstate))
+    int8 = timed(lambda p, xx: net.forward(p, xx, net.cfg, qstate=qstate,
+                                           int8=True))
+    print(json.dumps({
+        "metric": f"infer_images_per_s_{model}_bs{bs}",
+        "fp32": round(fp32, 1),
+        "fake_quant": round(fake, 1),
+        "int8": round(int8, 1),
+        "int8_vs_fp32": round(int8 / fp32, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

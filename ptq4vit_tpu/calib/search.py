@@ -35,12 +35,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from ..configs.policy import OpPolicy
 from ..quant import fakequant as fq
 from ..quant.metrics import cosine_similarity
 from ..quant.qparams import ConvQP, LinearQP, MatMulQP
 
 DEFAULT_BUDGET = 2 << 30  # bytes of out_sim scratch per candidate chunk
+
+# opt-in fused Pallas scorer for the production linear w-search case
+# (n_V=n_H=1, hessian); see ops/pallas_search.py
+USE_PALLAS = os.environ.get("PTQ4VIT_TPU_PALLAS", "0") == "1"
 
 
 # ---------------------------------------------------------------------------
@@ -116,9 +122,9 @@ def _quant_act_linear(x, a_interval, a_neg_interval, policy: OpPolicy):
 # linear search
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("policy", "P", "bs"))
+@partial(jax.jit, static_argnames=("policy", "P", "bs", "use_pallas"))
 def _linear_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
-                       P: int, bs: int):
+                       P: int, bs: int, use_pallas: bool = False):
     """Full calibration_step2 of a linear layer (reference linear.py:536-555
     semantics) as one compiled program.
 
@@ -164,9 +170,26 @@ def _linear_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
 
     w4 = fq.blocked_weight_view(w, n_V, n_H)              # n_V,crb_r,n_H,crb_c
 
+    pallas_ok = (use_pallas and n_V == 1 and n_H == 1
+                 and policy.metric == "hessian")
+
+    def score_w_pallas(w_int, a_int):
+        """Fused VMEM scorer (ops/pallas_search.py): all eq_n candidates in
+        one kernel, no out_sim materialization.  Same reduction up to the
+        uniform 1/(T*oc) factor."""
+        from ..ops.pallas_search import linear_w_hessian_sims
+        x_sim = _quant_act_linear(x, a_int, a_neg, policy).reshape(S * T, ic)
+        rawb = raw_out if b is None else raw_out - b
+        sims = linear_w_hessian_sims(
+            x_sim, w, w_cands.reshape(eq_n), rawb.reshape(S * T, oc),
+            raw_grad.reshape(S * T, oc), w_qmax)
+        return (sims / (T * oc))[:, None]                  # eq_n, 1
+
     def score_w(w_int, a_int, h):
         """Summed similarities (eq_n, n_V) of candidate intervals for
         weight column-block h (linear.py:455-495)."""
+        if pallas_ok:
+            return score_w_pallas(w_int, a_int)
         x_sim_all = _chunk_batch(
             _quant_act_linear(x, a_int, a_neg, policy), bs)
         mask_h = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, n_H, 1), 3)
@@ -316,7 +339,7 @@ def search_linear(w, b, cap, policy: OpPolicy,
     P, bs = plan_chunks(policy.eq_n, S, T * oc, budget)
     w_int, a_int = _linear_search_jit(
         jnp.asarray(w), None if b is None else jnp.asarray(b),
-        x, raw_out, grad, policy, P, bs)
+        x, raw_out, grad, policy, P, bs, use_pallas=USE_PALLAS)
     postgelu = policy.quantizer == "postgelu_linear"
     a_qmax = fq.qmax_for_bit(policy.a_bit)
     return LinearQP(

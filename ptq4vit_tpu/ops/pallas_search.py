@@ -51,7 +51,7 @@ def _kernel(cand_ref, x_ref, w_ref, raw_ref, g_ref, out_ref, *, qmax: int):
 
 @functools.partial(jax.jit, static_argnames=("qmax", "interpret"))
 def linear_w_hessian_sims(x_sim, w, cands, raw_minus_bias, grad,
-                          qmax: int, interpret: bool = False):
+                          qmax: int, interpret: bool = None):
     """Fused scorer.
 
     x_sim:          (M, ic) already input-quantized activations
@@ -61,6 +61,8 @@ def linear_w_hessian_sims(x_sim, w, cands, raw_minus_bias, grad,
     grad:           (M, oc) ∂L/∂out
     Returns (P,) float32 un-normalized similarity sums.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     M, ic = x_sim.shape
     oc = w.shape[0]
     P = cands.shape[0]

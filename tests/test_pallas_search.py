@@ -30,3 +30,26 @@ def test_fused_scorer_matches_xla(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-4)
     # argmax (what the search consumes) must agree
     assert int(np.argmax(got)) == int(np.argmax(ref))
+
+
+def test_search_linear_pallas_path_matches_xla(rng):
+    """Full linear search with the fused scorer vs the XLA scorer —
+    intervals must match (production case: n_V=n_H=n_a=1, hessian)."""
+    import jax.numpy as jnp
+    from ptq4vit_tpu.calib.search import _linear_search_jit, plan_chunks
+    from ptq4vit_tpu.configs.policy import OpPolicy
+    pol = OpPolicy(quantizer="linear", metric="hessian", eq_alpha=0.01,
+                   eq_beta=1.2, eq_n=16, search_round=2, w_bit=8, a_bit=8)
+    S, T, ic, oc = 4, 9, 24, 16
+    w = rng.standard_normal((oc, ic)).astype(np.float32)
+    b = rng.standard_normal((oc,)).astype(np.float32)
+    x = rng.standard_normal((S, T, ic)).astype(np.float32)
+    raw = (x @ w.T + b).astype(np.float32)
+    g = rng.standard_normal(raw.shape).astype(np.float32)
+    P, bs = plan_chunks(pol.eq_n, S, T * oc)
+    args = (jnp.asarray(w), jnp.asarray(b), jnp.asarray(x),
+            jnp.asarray(raw), jnp.asarray(g), pol, P, bs)
+    w1, a1 = _linear_search_jit(*args, use_pallas=False)
+    w2, a2 = _linear_search_jit(*args, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-6)
