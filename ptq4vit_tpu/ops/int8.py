@@ -17,9 +17,9 @@ Supported layouts (= everything the shipped configs produce):
   * ConvQP channelwise/layerwise (patchify+matmul, activation FP when
     a_bit >= 32).
 
-Levels are computed on the fly from the fp32 weights (XLA fuses the
-round/clip into the matmul operand load); :func:`preconvert_weights` bakes
-int8 weights ahead of time for serving.
+Weight levels are computed on the fly from the fp32 weights — a cheap
+VPU pass XLA fuses with the operand load; pre-baked int8 weights for
+external serving come from utils/integer.get_model_int_weight.
 """
 from __future__ import annotations
 
