@@ -52,6 +52,8 @@ MODEL_ZOO: Dict[str, Dict[str, Any]] = {
                                  heads=12, crop_pct=1.0),
     "vit_large_patch16_224": dict(**_VIT, img=224, patch=16, dim=1024, depth=24,
                                   heads=16, crop_pct=0.9),
+    "vit_large_patch16_384": dict(**_VIT, img=384, patch=16, dim=1024, depth=24,
+                                  heads=16, crop_pct=1.0),
     # --- DeiT (example/test_all.py:90-93)
     "deit_tiny_patch16_224": dict(**_DEIT, img=224, patch=16, dim=192, depth=12,
                                   heads=3, crop_pct=0.9),
@@ -78,6 +80,14 @@ MODEL_ZOO: Dict[str, Dict[str, Any]] = {
                                           depths=(2, 2, 18, 2),
                                           heads=(4, 8, 16, 32), window=12,
                                           crop_pct=1.0),
+    "swin_large_patch4_window7_224": dict(**_SWIN, img=224, patch=4, dim=192,
+                                          depths=(2, 2, 18, 2),
+                                          heads=(6, 12, 24, 48), window=7,
+                                          crop_pct=0.9),
+    "swin_large_patch4_window12_384": dict(**_SWIN, img=384, patch=4,
+                                           dim=192, depths=(2, 2, 18, 2),
+                                           heads=(6, 12, 24, 48), window=12,
+                                           crop_pct=1.0),
 }
 
 

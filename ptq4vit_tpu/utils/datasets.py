@@ -195,6 +195,21 @@ class Loader:
 # loader generators (reference datasets.py:35-341)
 # ---------------------------------------------------------------------------
 
+class SetSplittor:
+    """Train/val split helper — the reference ships this as an empty stub
+    (datasets.py:28-33); kept for API parity."""
+
+    def __init__(self, fraction: float = 0.2):
+        self.fraction = fraction
+
+    def split(self, dataset):
+        n = len(dataset)
+        n_val = int(n * self.fraction)
+        idx = np.random.permutation(n)
+        return (SubsetDataset(dataset, idx[n_val:]),
+                SubsetDataset(dataset, idx[:n_val]))
+
+
 class LoaderGenerator:
     """Base loader factory (reference datasets.py:35-94)."""
 
@@ -231,6 +246,11 @@ class LoaderGenerator:
     def test_loader(self, shuffle=False, batch_size=None):
         return Loader(self.test_set, batch_size or self.test_batch_size,
                       shuffle=shuffle, num_workers=self.num_workers)
+
+    def val_loader(self):
+        assert getattr(self, "val_set", None) is not None
+        return Loader(self.val_set, self.test_batch_size, shuffle=False,
+                      num_workers=self.num_workers)
 
     def calib_loader(self, num=1024, seed=3):
         """Fixed-seed train-split subset served as one batch with the test
