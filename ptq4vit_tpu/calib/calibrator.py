@@ -93,11 +93,17 @@ class CalibReport:
     model: str
     config: str
     capture_seconds: float = 0.0
+    target_seconds: float = 0.0
+    sync_seconds: float = 0.0      # group-end block: absorbs async search
+                                   # device execution
+    setup_seconds: float = 0.0
     search_seconds: Dict[str, float] = dataclasses.field(default_factory=dict)
 
     @property
     def total_seconds(self) -> float:
-        return self.capture_seconds + sum(self.search_seconds.values())
+        return (self.capture_seconds + self.target_seconds +
+                self.sync_seconds + self.setup_seconds +
+                sum(self.search_seconds.values()))
 
 
 class HessianQuantCalibrator:
@@ -200,6 +206,7 @@ class HessianQuantCalibrator:
 
         # probe target once for all groups (quant_calib.py:309-313)
         target = None
+        t_setup = time.time()
         if need_grad:
             from .capture import probe_target
             logits_fn = jax.jit(lambda p, x: net.forward(p, x, net.cfg))
@@ -210,8 +217,10 @@ class HessianQuantCalibrator:
                 for s0 in range(0, len(self.calib_x), nb)])
             target = probe_target(raw_logits, self.probe_seed,
                                   self.probe_sigma)
+        self.report.target_seconds = time.time() - t_setup
 
         # group ops so each capture pass fits the cache budget
+        t_setup = time.time()
         sizes = _tap_bytes(net, self.calib_x.shape[0], need_grad,
                            store_matmul_out=not self.device_resident)
         groups: List[List[str]] = [[]]
@@ -224,6 +233,7 @@ class HessianQuantCalibrator:
             acc += sizes[name]
 
         mtypes = dict(self.wrapped_modules)
+        self.report.setup_seconds = time.time() - t_setup
         for group in groups:
             if not group:
                 continue
@@ -250,7 +260,9 @@ class HessianQuantCalibrator:
                           f"{self.report.search_seconds[name]:.2f}s",
                           flush=True)
             # block before the next group's capture reuses the HBM
+            t0 = time.time()
             jax.block_until_ready([qstate[n] for n in group])
+            self.report.sync_seconds += time.time() - t0
         return qstate
 
     def _search_one(self, name: str, mtype: str, policy, cap):
