@@ -9,3 +9,5 @@ search over scale-factor candidates executed as int8 matmuls on the MXU.
 """
 
 __version__ = "0.1.0"
+
+from .api import quantize  # noqa: E402,F401

@@ -42,3 +42,16 @@ def test_cfg_modifier_grid():
     cfg = m(get_config("PTQ4ViT"))
     assert cfg.w_bit["qlinear_qkv"] == 6 and cfg.A_bit["qmatmul_qk"] == 6
     assert len(ta.NAMES) == 13
+
+
+def test_high_level_api(rng):
+    import numpy as np
+    from ptq4vit_tpu import quantize
+    from ptq4vit_tpu.configs import base_ptq
+    from tests.test_calibrator import small_cfg
+    calib = np.random.default_rng(0).standard_normal(
+        (4, 3, 224, 224)).astype(np.float32)
+    net, qstate = quantize("vit_tiny_patch16_224", calib,
+                           config=small_cfg(base_ptq()),
+                           bits=(8, 8), batch_size=4)
+    assert len(qstate) == len(net.op_inventory)
