@@ -18,9 +18,7 @@ def stability(name="vit_small_patch16_224", config="PTQ4ViT", seeds=5,
               args=None):
     from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
     from ptq4vit_tpu.utils.datasets import ViTImageNetLoaderGenerator
-    from ptq4vit_tpu.models import get_net
     from ptq4vit_tpu.utils.synthetic import synthetic_images
-    from ptq4vit_tpu.utils.timm_port import load_timm_checkpoint_if_any
 
     quant_cfg = init_config(config)
     if getattr(args, "quick", False):

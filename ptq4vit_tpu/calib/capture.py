@@ -25,7 +25,7 @@ candidates, so σ only needs to stay in the linear regime.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

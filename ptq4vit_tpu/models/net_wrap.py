@@ -16,10 +16,9 @@ get a calibrated QP in the qstate dict:
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax.numpy as jnp
-import numpy as np
 
 # leaf-name -> module-type map (reference net_wrap.py:42)
 MODULE_TYPES = {"qkv": "qlinear_qkv", "proj": "qlinear_proj",

@@ -23,8 +23,6 @@ external serving come from utils/integer.get_model_int_weight.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
-
 import jax
 import jax.numpy as jnp
 

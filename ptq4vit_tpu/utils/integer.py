@@ -17,7 +17,7 @@ capture pass and returns the same payloads keyed by op name.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 

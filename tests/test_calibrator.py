@@ -1,8 +1,6 @@
 """End-to-end calibration on a tiny ViT: full PTQ4ViT pipeline (hessian +
 twin quantizers), BasePTQ pipeline, minmax baseline, checkpoint/resume,
 sequential mode."""
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,7 +11,7 @@ from ptq4vit_tpu.calib.calibrator import (HessianQuantCalibrator, load_qstate,
                                           apply_bias_correction)
 from ptq4vit_tpu.configs import base_ptq, get_config, ptq4vit
 from ptq4vit_tpu.quant.qparams import ConvQP, LinearQP, MatMulQP
-from tests.test_capture import tiny_net, CFG
+from tests.test_capture import tiny_net
 
 
 def small_cfg(cfg):

@@ -4,8 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ptq4vit_tpu.parallel import (Evaluator, make_mesh, shard_batch,
-                                  shard_params)
+from ptq4vit_tpu.parallel import Evaluator, make_mesh
 from tests.test_capture import tiny_net
 
 

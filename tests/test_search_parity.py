@@ -6,9 +6,6 @@ twin-uniform and SoS quantizers).
 Oracles are unchunked (chunking does not change the math) and written
 directly from the documented semantics in SURVEY.md §2.1.
 """
-import dataclasses
-
-import jax.numpy as jnp
 import numpy as np
 import pytest
 import torch
