@@ -18,12 +18,21 @@ import time
 
 MODEL = os.environ.get("BENCH_MODEL", "vit_base_patch16_384")
 CALIB = int(os.environ.get("BENCH_CALIB", "32"))
-BASELINE_MIN = {"vit_base_patch16_384": 12.0,
-                "vit_small_patch16_224": 3.0,
-                "vit_base_patch16_224": 4.0,
-                "swin_base_patch4_window12_384": 25.0,
-                "swin_small_patch4_window7_224": 8.0}.get(
-                    MODEL, 12.0)
+# reference calibration minutes (README.md:28-40) per (model, calib size)
+_BASELINES = {
+    "vit_small_patch32_224": {32: 2, 128: 5},
+    "vit_small_patch16_224": {32: 3, 128: 7},
+    "vit_base_patch16_224": {32: 4, 128: 13},
+    "vit_base_patch16_384": {32: 12, 128: 43},
+    "deit_small_patch16_224": {32: 3, 128: 7},
+    "deit_base_patch16_224": {32: 4, 128: 16},
+    "deit_base_patch16_384": {32: 14, 128: 52},
+    "swin_tiny_patch4_window7_224": {32: 3, 128: 9},
+    "swin_small_patch4_window7_224": {32: 8, 128: 17},
+    "swin_base_patch4_window7_224": {32: 10, 128: 23},
+    "swin_base_patch4_window12_384": {32: 25, 128: 69},
+}
+BASELINE_MIN = float(_BASELINES.get(MODEL, {}).get(CALIB, 12))
 
 
 def main():
@@ -42,9 +51,14 @@ def main():
     net = get_net(MODEL)
     calib = synthetic_images(CALIB, net.cfg.img_size, seed=3)
 
+    import jax.numpy as jnp
+    cache_dtype = (jnp.bfloat16
+                   if os.environ.get("BENCH_CACHE_DTYPE") == "bfloat16"
+                   else None)
     t0 = time.time()
     calibrator = HessianQuantCalibrator(net, ptq4vit(), calib,
-                                        sequential=False, batch_size=4)
+                                        sequential=False, batch_size=4,
+                                        cache_dtype=cache_dtype)
     qstate = calibrator.batching_quant_calib(verbose=False)
     minutes = (time.time() - t0) / 60.0
     assert len(qstate) == len(net.op_inventory)

@@ -50,7 +50,8 @@ def _params_for_op(params: Dict[str, Any], name: str):
 
 
 def _tap_bytes(net, calib_n: int, need_grad: bool,
-               store_matmul_out: bool = True) -> Dict[str, int]:
+               store_matmul_out: bool = True,
+               elem_bytes: int = 4) -> Dict[str, int]:
     """Bytes of each op's full-calib-set capture (inputs+out[+grad])."""
     xb = jax.ShapeDtypeStruct((1,) + (3, net.cfg.img_size, net.cfg.img_size),
                               jnp.float32)
@@ -64,9 +65,9 @@ def _tap_bytes(net, calib_n: int, need_grad: bool,
         for key, v in shapes[name].items():
             if key == "out" and is_matmul and not store_matmul_out:
                 continue
-            n += int(np.prod(v.shape)) * 4
+            n += int(np.prod(v.shape)) * elem_bytes
         if need_grad:
-            n += int(np.prod(shapes[name]["out"].shape)) * 4
+            n += int(np.prod(shapes[name]["out"].shape)) * elem_bytes
         out[name] = n * calib_n
     return out
 
@@ -118,7 +119,8 @@ class HessianQuantCalibrator:
                  probe_seed: int = 3, probe_sigma: float = 1e-3,
                  checkpoint_dir: Optional[str] = None,
                  wrapped_modules: Optional[Dict[str, str]] = None,
-                 device_resident: bool = True):
+                 device_resident: bool = True,
+                 cache_dtype=None):
         self.net = net
         self.cfg = quant_cfg
         self.calib_x = np.asarray(calib_x, np.float32)
@@ -128,6 +130,8 @@ class HessianQuantCalibrator:
         # catastrophically slow on tunneled/remote devices); ops are grouped
         # so each group's caches fit the budget
         self.device_resident = device_resident
+        # bfloat16 caches halve the group count (see capture cache_dtype)
+        self.cache_dtype = cache_dtype
         self.cache_budget = (cache_budget_bytes if cache_budget_bytes
                              else (_device_budget_bytes() if device_resident
                                    else 48 << 30))
@@ -221,8 +225,10 @@ class HessianQuantCalibrator:
 
         # group ops so each capture pass fits the cache budget
         t_setup = time.time()
+        elem = 2 if self.cache_dtype is not None else 4
         sizes = _tap_bytes(net, self.calib_x.shape[0], need_grad,
-                           store_matmul_out=not self.device_resident)
+                           store_matmul_out=not self.device_resident,
+                           elem_bytes=elem)
         groups: List[List[str]] = [[]]
         acc = 0
         for name, _ in todo:
@@ -243,6 +249,7 @@ class HessianQuantCalibrator:
                           probe_sigma=self.probe_sigma, ops=group,
                           to_host=not self.device_resident,
                           store_matmul_out=not self.device_resident,
+                          cache_dtype=self.cache_dtype,
                           target_probs=target)
             self.report.capture_seconds += time.time() - t0
             for name in group:

@@ -68,7 +68,8 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
             qstate: Optional[Dict] = None,
             target_probs: Optional[np.ndarray] = None,
             to_host: bool = True,
-            store_matmul_out: bool = True) -> Dict[str, OpCapture]:
+            store_matmul_out: bool = True,
+            cache_dtype=None) -> Dict[str, OpCapture]:
     """Run the capture pass over the calibration set.
 
     net: models.registry.Net;  calib_x: (num, 3, H, W) float32 host array.
@@ -91,6 +92,10 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
     store_matmul_out: False drops matmul raw_out from the caches (it equals
        A@B exactly — the search recomputes it per batch-chunk, saving the
        largest HBM tenants: the (S,H,N,N) attention-score outputs).
+    cache_dtype: storage dtype of the caches (e.g. jnp.bfloat16 halves the
+       HBM footprint and the op-group count; searches upcast to fp32 —
+       scale selection may shift by the bf16 rounding of the raw data, so
+       the parity default is float32/None).
 
     Returns {op name: OpCapture} whose leading axis is the
     calibration-sample axis (for Swin matmuls: samples × windows, matching
@@ -135,12 +140,14 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
 
     def filter_taps(taps):
         """Keep only the requested ops/fields (drops matmul outs when they
-        will be recomputed)."""
+        will be recomputed); cast to the cache dtype."""
+        cast = ((lambda a: a.astype(cache_dtype)) if cache_dtype is not None
+                else (lambda a: a))
         out = {}
         for n in names:
-            rec = {k: taps[n][k] for k in TAP_FIELDS[kinds[n]]}
+            rec = {k: cast(taps[n][k]) for k in TAP_FIELDS[kinds[n]]}
             if store_matmul_out or kinds[n] != "matmul":
-                rec["out"] = taps[n]["out"]
+                rec["out"] = cast(taps[n]["out"])
             out[n] = rec
         return out
 
@@ -155,7 +162,8 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
             (_, taps), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(eps_zeros)
             for n in names:
-                taps[n]["grad"] = grads[n]
+                taps[n]["grad"] = (grads[n].astype(cache_dtype)
+                                   if cache_dtype is not None else grads[n])
             return taps
         _, taps = fwd(p, xb, cfg, qstate=qstate, capture=True)
         return filter_taps(taps)

@@ -130,6 +130,10 @@ def _linear_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
     it equals the reference's mean over all middle dims); raw_out/raw_grad:
     (S, T, oc).
     """
+    x = x.astype(jnp.float32)
+    raw_out = raw_out.astype(jnp.float32)
+    if raw_grad is not None:
+        raw_grad = raw_grad.astype(jnp.float32)
     S, T, ic = x.shape
     oc = raw_out.shape[-1]
     n_V, n_H, n_a = policy.n_V, policy.n_H, policy.n_a
@@ -569,6 +573,10 @@ def _conv_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
     Similarity reductions operate on the token axis — elementwise-equivalent
     to the reference's NCHW spatial means.
     """
+    x = x.astype(jnp.float32)
+    raw_out = raw_out.astype(jnp.float32)
+    if raw_grad is not None:
+        raw_grad = raw_grad.astype(jnp.float32)
     S, N, icp = x.shape
     oc = w.shape[0]
     w_qmax = fq.qmax_for_bit(policy.w_bit)

@@ -139,3 +139,19 @@ def test_bias_correction_optin(net, calib_x):
     # original params untouched
     assert np.array_equal(
         b0, np.asarray(net.params["blocks"][0]["attn"]["qkv"]["bias"]))
+
+
+def test_bf16_cache_dtype(net, calib_x):
+    import jax.numpy as jnp
+    cfg = small_cfg(ptq4vit())
+    q32 = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4) \
+        .batching_quant_calib(verbose=False)
+    qbf = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4,
+                                 cache_dtype=jnp.bfloat16) \
+        .batching_quant_calib(verbose=False)
+    # bf16 caches perturb raw data slightly; intervals stay within the
+    # candidate-grid step of the fp32 selection
+    for n in q32:
+        a = np.asarray(jax.tree.leaves(q32[n])[0]).ravel()
+        b = np.asarray(jax.tree.leaves(qbf[n])[0]).ravel()
+        np.testing.assert_allclose(a, b, rtol=0.35)
