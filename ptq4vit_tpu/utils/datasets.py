@@ -57,7 +57,11 @@ class EvalTransform:
 
     def __init__(self, input_size: int, crop_pct: float = 0.875,
                  mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD,
-                 interpolation: str = "bicubic"):
+                 interpolation: str = "bicubic", raw_uint8: bool = False):
+        # raw_uint8: skip normalization and return uint8 CHW — 4x less
+        # host->device traffic; pair with Evaluator(data_config=...) which
+        # normalizes on-device
+        self.raw_uint8 = raw_uint8
         self.input_size = input_size
         self.scale_size = int(np.floor(input_size / crop_pct))
         self.mean = np.asarray(mean, np.float32).reshape(3, 1, 1)
@@ -80,6 +84,8 @@ class EvalTransform:
         top = int(round((oh - self.input_size) / 2.0))
         img = img.crop((left, top, left + self.input_size,
                         top + self.input_size))
+        if self.raw_uint8:
+            return np.asarray(img, np.uint8).transpose(2, 0, 1)
         x = np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0
         return (x - self.mean) / self.std
 
@@ -186,7 +192,9 @@ class Loader:
                     bi += 1
                 futs = window.popleft()
                 items = [f.result() for f in futs]
-                xs = np.stack([np.asarray(x, np.float32) for x, _ in items])
+                xs = np.stack([np.asarray(x) for x, _ in items])
+                if xs.dtype not in (np.uint8,):
+                    xs = xs.astype(np.float32)
                 ys = np.asarray([y for _, y in items], np.int64)
                 yield xs, ys
 

@@ -61,3 +61,19 @@ def test_sharded_capture_matches_host(rng):
     g1 = raw_host["blocks.0.attn.qkv"].grad
     g2 = raw_mesh["blocks.0.attn.qkv"].grad
     np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-7)
+
+
+def test_uint8_device_normalize_eval(rng):
+    """uint8 inputs + on-device normalization match host-normalized eval."""
+    from ptq4vit_tpu.models.registry import DataConfig
+    net = tiny_net()
+    dc = DataConfig(32, 1.0, (0.5, 0.4, 0.3), (0.2, 0.25, 0.3))
+    u8 = rng.integers(0, 256, (6, 3, 32, 32)).astype(np.uint8)
+    mean = np.asarray(dc.mean, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(dc.std, np.float32).reshape(1, 3, 1, 1)
+    xf = (u8.astype(np.float32) / 255.0 - mean) / std
+    y = rng.integers(0, 10, 6).astype(np.int64)
+    a = Evaluator(net).n_correct(jnp.asarray(xf), jnp.asarray(y))
+    b = Evaluator(net, data_config=dc).n_correct(jnp.asarray(u8),
+                                                 jnp.asarray(y))
+    assert a == b
