@@ -56,7 +56,6 @@ def test_grads_zero_without_probe(rng):
 
 
 def test_grads_match_torch_autograd_oracle(rng):
-    from tests.test_models import torch_vit_forward  # reuse oracle builder
     net = tiny_net()
     x = rng.standard_normal((4, 3, 32, 32)).astype(np.float32)
     sigma, seed = 1e-2, 7
