@@ -120,7 +120,8 @@ class HessianQuantCalibrator:
                  checkpoint_dir: Optional[str] = None,
                  wrapped_modules: Optional[Dict[str, str]] = None,
                  device_resident: bool = True,
-                 cache_dtype=None):
+                 cache_dtype=None,
+                 profile_dir: Optional[str] = None):
         self.net = net
         self.cfg = quant_cfg
         self.calib_x = np.asarray(calib_x, np.float32)
@@ -132,6 +133,7 @@ class HessianQuantCalibrator:
         self.device_resident = device_resident
         # bfloat16 caches halve the group count (see capture cache_dtype)
         self.cache_dtype = cache_dtype
+        self.profile_dir = profile_dir
         self.cache_budget = (cache_budget_bytes if cache_budget_bytes
                              else (_device_budget_bytes() if device_resident
                                    else 48 << 30))
@@ -165,8 +167,22 @@ class HessianQuantCalibrator:
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         save_op_qp(p, qp)
 
+    def quant_calib(self, verbose: bool = True) -> Dict[str, Any]:
+        """Reference-compatible alias (quant_calib.py:95-104, :216-298):
+        the non-batching reference calibrators differ from the batching one
+        only in memory staging, which the static chunk planner already
+        covers — both paths land here."""
+        return self.batching_quant_calib(verbose=verbose)
+
     # -- main entry (reference quant_calib.py:300-378) ---------------------
     def batching_quant_calib(self, verbose: bool = True) -> Dict[str, Any]:
+        if self.profile_dir is not None:
+            import jax.profiler
+            with jax.profiler.trace(self.profile_dir):
+                return self._batching_quant_calib(verbose)
+        return self._batching_quant_calib(verbose)
+
+    def _batching_quant_calib(self, verbose: bool = True) -> Dict[str, Any]:
         net, cfg = self.net, self.cfg
         policies = {name: cfg.op_policy(mtype)
                     for name, mtype in self.wrapped_modules}
