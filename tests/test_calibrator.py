@@ -155,3 +155,36 @@ def test_bf16_cache_dtype(net, calib_x):
         a = np.asarray(jax.tree.leaves(q32[n])[0]).ravel()
         b = np.asarray(jax.tree.leaves(qbf[n])[0]).ravel()
         np.testing.assert_allclose(a, b, rtol=0.35)
+
+
+def test_swin_pipeline_end_to_end(rng):
+    """Tiny Swin through the full PTQ4ViT pipeline: window-attention
+    matmuls get head-wise scales, patch-merging reduction is calibrated."""
+    from ptq4vit_tpu.models.registry import DataConfig, Net
+    from ptq4vit_tpu.models import swin as swin_mod
+    cfg = swin_mod.SwinConfig(name="test_swin", img_size=32, patch_size=2,
+                              embed_dim=12, depths=(2, 2), num_heads=(2, 4),
+                              window_size=4, num_classes=7)
+    params = swin_mod.init_params(jax.random.PRNGKey(1), cfg)
+    net = Net(name=cfg.name, cfg=cfg, params=params,
+              forward=swin_mod.forward,
+              op_inventory=swin_mod.op_inventory(cfg),
+              op_shapes=swin_mod.op_shapes(cfg),
+              data_config=DataConfig(32, 1.0, (0.5,) * 3, (0.5,) * 3))
+    calib = rng.standard_normal((8, 3, 32, 32)).astype(np.float32)
+    qstate = HessianQuantCalibrator(net, small_cfg(ptq4vit()), calib,
+                                    batch_size=4) \
+        .batching_quant_calib(verbose=False)
+    assert set(qstate) == {n for n, _ in net.op_inventory}
+    # head-wise matmul scales per stage
+    assert qstate["layers.0.blocks.0.attn.matmul1"].A_interval.shape == \
+        (1, 2, 1, 1, 1, 1, 1)
+    assert qstate["layers.1.blocks.0.attn.matmul1"].A_interval.shape == \
+        (1, 4, 1, 1, 1, 1, 1)
+    assert qstate["layers.0.downsample.reduction"].w_interval.shape == \
+        (1, 1, 1, 1)
+    # quantized + int8 forwards run
+    x = jnp.asarray(calib[:2])
+    fake = np.asarray(net.apply(x, qstate=qstate))
+    i8 = np.asarray(net.apply(x, qstate=qstate, int8=True))
+    np.testing.assert_allclose(i8, fake, rtol=2e-3, atol=2e-3)
