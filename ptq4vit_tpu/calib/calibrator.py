@@ -224,17 +224,25 @@ class HessianQuantCalibrator:
                 self._save_ckpt(name, qp)
             return qstate
 
-        # probe target once for all groups (quant_calib.py:309-313)
+        # probe target once for all groups (quant_calib.py:309-313); one
+        # jitted scan over micro-batches = one dispatch
         target = None
         t_setup = time.time()
         if need_grad:
             from .capture import probe_target
-            logits_fn = jax.jit(lambda p, x: net.forward(p, x, net.cfg))
-            nb = 8
-            raw_logits = np.concatenate([
-                np.asarray(logits_fn(net.params,
-                                     jnp.asarray(self.calib_x[s0:s0 + nb])))
-                for s0 in range(0, len(self.calib_x), nb)])
+            num = len(self.calib_x)
+            nb = next(b for b in range(min(8, num), 0, -1) if num % b == 0)
+
+            @jax.jit
+            def all_logits(p, xs):
+                def body(_, xb):
+                    return None, net.forward(p, xb, net.cfg)
+                _, ls = jax.lax.scan(body, None, xs)
+                return ls.reshape((-1,) + ls.shape[2:])
+
+            xs = jnp.asarray(self.calib_x).reshape(
+                (num // nb, nb) + self.calib_x.shape[1:])
+            raw_logits = np.asarray(all_logits(net.params, xs))
             target = probe_target(raw_logits, self.probe_seed,
                                   self.probe_sigma)
         self.report.target_seconds = time.time() - t_setup
