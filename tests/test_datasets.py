@@ -102,3 +102,29 @@ def test_get_dataset_dispatcher():
 def test_calculate_n_correct():
     out = np.asarray([[0.1, 0.9], [0.8, 0.2], [0.3, 0.7]])
     assert D.calculate_n_correct(out, np.asarray([1, 0, 0])) == 2
+
+
+def test_faster_loader_shm_cache(imagenet_dir, tmp_path):
+    from ptq4vit_tpu.models import get_net
+    net = get_net("vit_tiny_patch16_224")
+    cache = str(tmp_path / "cache.npz")
+    g = D.FasterImageNetLoaderGenerator(
+        imagenet_dir, "imagenet", 2, 2, 2,
+        kwargs={"model": net, "cache_path": cache})
+    xs1, ys1 = next(iter(g.test_loader()))
+    assert os.path.exists(cache)
+    # second load comes from the cache and is identical
+    g2 = D.FasterImageNetLoaderGenerator(
+        imagenet_dir, "imagenet", 2, 2, 2,
+        kwargs={"model": net, "cache_path": cache})
+    xs2, ys2 = next(iter(g2.test_loader()))
+    np.testing.assert_array_equal(xs1, xs2)
+    np.testing.assert_array_equal(ys1, ys2)
+
+
+def test_raw_uint8_transform(rng):
+    from PIL import Image
+    tf = D.EvalTransform(32, crop_pct=0.9, raw_uint8=True)
+    img = Image.fromarray((rng.random((50, 70, 3)) * 255).astype(np.uint8))
+    x = tf(img)
+    assert x.dtype == np.uint8 and x.shape == (3, 32, 32)

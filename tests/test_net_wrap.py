@@ -83,3 +83,14 @@ def test_chunked_quantile_small_equals_plain(rng):
     x = rng.standard_normal((1000,)).astype(np.float32)
     assert abs(chunked_quantile(x, 0.99)
                - float(np.quantile(np.abs(x), 0.99))) < 1e-6
+
+
+def test_tracer_spans():
+    import time
+    from ptq4vit_tpu.utils.tracing import Tracer
+    tr = Tracer()
+    with tr.span("calib"):
+        with tr.span("capture"):
+            time.sleep(0.01)
+    assert tr.spans["calib/capture"] >= 0.01
+    assert "calib" in tr.spans and "{" in tr.summary()
