@@ -57,11 +57,22 @@ class EvalTransform:
 
     def __init__(self, input_size: int, crop_pct: float = 0.875,
                  mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD,
-                 interpolation: str = "bicubic", raw_uint8: bool = False):
+                 interpolation: str = "bicubic", raw_uint8: bool = False,
+                 use_native: str = "auto"):
         # raw_uint8: skip normalization and return uint8 CHW — 4x less
         # host->device traffic; pair with Evaluator(data_config=...) which
         # normalizes on-device
         self.raw_uint8 = raw_uint8
+        # use_native: "auto" routes bicubic non-raw transforms through the
+        # C++ data plane (ptq4vit_tpu/native: libjpeg decode + Pillow-
+        # bit-exact resample) when the toolchain is available
+        self._native = False
+        if use_native != "never" and interpolation == "bicubic"                 and not raw_uint8:
+            try:
+                from .. import native
+                self._native = native.available()
+            except Exception:
+                self._native = False
         self.input_size = input_size
         self.scale_size = int(np.floor(input_size / crop_pct))
         self.mean = np.asarray(mean, np.float32).reshape(3, 1, 1)
@@ -70,7 +81,22 @@ class EvalTransform:
                               "bilinear": Image.BILINEAR}[interpolation] \
             if HAVE_PIL else interpolation
 
+    @property
+    def wants_bytes(self) -> bool:
+        """Datasets hand raw JPEG bytes to the native decode path."""
+        return self._native
+
     def __call__(self, img) -> np.ndarray:
+        if self._native:
+            from .. import native
+            if isinstance(img, (bytes, bytearray)):
+                return native.decode_preprocess(
+                    bytes(img), self.scale_size, self.input_size,
+                    self.mean.ravel(), self.std.ravel())
+            arr = np.asarray(img.convert("RGB"), np.uint8)
+            return native.preprocess_rgb(arr, self.scale_size,
+                                         self.input_size,
+                                         self.mean.ravel(), self.std.ravel())
         img = img.convert("RGB")
         w, h = img.size
         # torchvision Resize(shorter-side) semantics
@@ -117,6 +143,10 @@ class ImageFolderDataset:
 
     def __getitem__(self, idx: int):
         path, label = self.samples[idx]
+        if (getattr(self.transform, "wants_bytes", False)
+                and path.lower().endswith((".jpg", ".jpeg"))):
+            with open(path, "rb") as f:
+                return self.transform(f.read()), label
         img = Image.open(path)
         x = self.transform(img) if self.transform else np.asarray(img)
         return x, label
