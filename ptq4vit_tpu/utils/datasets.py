@@ -143,12 +143,15 @@ class ImageFolderDataset:
 
     def __getitem__(self, idx: int):
         path, label = self.samples[idx]
-        if (getattr(self.transform, "wants_bytes", False)
-                and path.lower().endswith((".jpg", ".jpeg"))):
-            with open(path, "rb") as f:
-                return self.transform(f.read()), label
-        img = Image.open(path)
-        x = self.transform(img) if self.transform else np.asarray(img)
+        try:
+            if (getattr(self.transform, "wants_bytes", False)
+                    and path.lower().endswith((".jpg", ".jpeg"))):
+                with open(path, "rb") as f:
+                    return self.transform(f.read()), label
+            img = Image.open(path)
+            x = self.transform(img) if self.transform else np.asarray(img)
+        except Exception as e:
+            raise ValueError(f"failed to load '{path}': {e}") from e
         return x, label
 
 

@@ -128,3 +128,13 @@ def test_raw_uint8_transform(rng):
     img = Image.fromarray((rng.random((50, 70, 3)) * 255).astype(np.uint8))
     x = tf(img)
     assert x.dtype == np.uint8 and x.shape == (3, 32, 32)
+
+
+def test_corrupt_image_error_names_file(imagenet_dir):
+    bad = os.path.join(imagenet_dir, "val", "n01", "bad.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"\xff\xd8\xff\xe0 not a jpeg")
+    g = D.ImageNetLoaderGenerator(imagenet_dir, "imagenet", 8, 8, 1)
+    with pytest.raises(ValueError, match="bad.jpg"):
+        next(iter(g.test_loader()))
+    os.remove(bad)
