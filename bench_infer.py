@@ -43,12 +43,19 @@ def main():
     fake = timed(lambda p, xx: net.forward(p, xx, net.cfg, qstate=qstate))
     int8 = timed(lambda p, xx: net.forward(p, xx, net.cfg, qstate=qstate,
                                            int8=True))
+    bf16 = timed(lambda p, xx: net.forward(p, xx, net.cfg,
+                                           compute_dtype=jnp.bfloat16))
+    int8_bf16 = timed(lambda p, xx: net.forward(
+        p, xx, net.cfg, qstate=qstate, int8=True,
+        compute_dtype=jnp.bfloat16))
     print(json.dumps({
         "metric": f"infer_images_per_s_{model}_bs{bs}",
         "fp32": round(fp32, 1),
+        "bf16": round(bf16, 1),
         "fake_quant": round(fake, 1),
         "int8": round(int8, 1),
-        "int8_vs_fp32": round(int8 / fp32, 2),
+        "int8_bf16": round(int8_bf16, 1),
+        "int8_bf16_vs_fp32": round(int8_bf16 / fp32, 2),
     }))
 
 

@@ -60,7 +60,7 @@ class QuantCtx:
             out = linear_int8(x, w, b, qp)
         else:
             out = apply_linear(x, w, b, qp)
-        return self._post(name, out, {"x": x})
+        return self._post(name, out.astype(x.dtype), {"x": x})
 
     def matmul(self, name, a, b):
         """Quantizable A@B; tap records both operands
@@ -71,7 +71,7 @@ class QuantCtx:
             out = matmul_int8(a, b, qp)
         else:
             out = apply_matmul(a, b, qp)
-        return self._post(name, out, {"a": a, "b": b})
+        return self._post(name, out.astype(a.dtype), {"a": a, "b": b})
 
     def conv2d_patch(self, name, x, w, b, patch: int):
         """Quantizable non-overlapping patch-embedding conv (stride ==
@@ -105,16 +105,24 @@ class QuantCtx:
                              preferred_element_type=jnp.float32)
             if b is not None:
                 out = out + b
-        out = self._post(name, out, {"x": xp})
+        out = self._post(name, out.astype(x.dtype), {"x": xp})
         return out, (nh, nw)
 
 
 def layer_norm(x, weight, bias, eps: float):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * weight + bias
+    # statistics in fp32 (stable under bf16 compute mode), output in x.dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    return (((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+            * weight + bias)
 
 
 def gelu(x):
     """Exact (erf) GELU, matching torch nn.GELU default."""
     return jax.nn.gelu(x, approximate=False)
+
+
+def softmax_f32(x, axis=-1):
+    """Softmax accumulated in fp32, result in x.dtype (bf16-mode safe)."""
+    return jax.nn.softmax(x.astype(jnp.float32), axis=axis).astype(x.dtype)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import QuantCtx, gelu, layer_norm
+from .common import QuantCtx, gelu, layer_norm, softmax_f32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -195,10 +195,10 @@ def _window_attention(ctx: QuantCtx, prefix: str, x, attn_p, heads: int,
     attn = attn + bias[None]
     if mask is not None:
         nW = mask.shape[0]
-        m = jnp.asarray(mask)[None, :, None]            # 1, nW, 1, N, N
+        m = jnp.asarray(mask, attn.dtype)[None, :, None]  # 1, nW, 1, N, N
         attn = attn.reshape(B_ // nW, nW, heads, N, N) + m
         attn = attn.reshape(B_, heads, N, N)
-    attn = jax.nn.softmax(attn, axis=-1)
+    attn = softmax_f32(attn, axis=-1)
     y = ctx.matmul(f"{prefix}.matmul2", attn, v)
     y = y.transpose(0, 2, 1, 3).reshape(B_, N, C)
     return ctx.linear(f"{prefix}.proj", y, attn_p["proj"]["weight"],
@@ -209,8 +209,15 @@ def forward(params: Dict[str, Any], x, cfg: SwinConfig,
             qstate: Optional[Dict[str, Any]] = None,
             eps: Optional[Dict[str, Any]] = None,
             capture: bool = False,
-            int8: bool = False):
+            int8: bool = False,
+            compute_dtype=None):
     """Swin forward.  x: (B, 3, H, W) NCHW float32."""
+    if compute_dtype is not None:
+        # serving mode: bf16 activations/params; matmul accumulation stays
+        # fp32 (preferred_element_type) or exact int32 on the int8 path
+        params = jax.tree.map(lambda a: a.astype(compute_dtype)
+                              if hasattr(a, "astype") else a, params)
+        x = x.astype(compute_dtype)
     ctx = QuantCtx(qstate=qstate, eps=eps, capture=capture, int8=int8)
     B = x.shape[0]
     pe = params["patch_embed"]

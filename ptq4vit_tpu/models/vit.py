@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import QuantCtx, gelu, layer_norm
+from .common import QuantCtx, gelu, layer_norm, softmax_f32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,11 +99,18 @@ def forward(params: Dict[str, Any], x, cfg: ViTConfig,
             qstate: Optional[Dict[str, Any]] = None,
             eps: Optional[Dict[str, Any]] = None,
             capture: bool = False,
-            int8: bool = False):
+            int8: bool = False,
+            compute_dtype=None):
     """ViT forward.  x: (B, 3, H, W) NCHW float32.
 
     Returns logits, or (logits, taps) when ``capture``.
     """
+    if compute_dtype is not None:
+        # serving mode: bf16 activations/params; matmul accumulation stays
+        # fp32 (preferred_element_type) or exact int32 on the int8 path
+        params = jax.tree.map(lambda a: a.astype(compute_dtype)
+                              if hasattr(a, "astype") else a, params)
+        x = x.astype(compute_dtype)
     ctx = QuantCtx(qstate=qstate, eps=eps, capture=capture, int8=int8)
     B = x.shape[0]
     d, H = cfg.embed_dim, cfg.num_heads
@@ -126,7 +133,7 @@ def forward(params: Dict[str, Any], x, cfg: ViTConfig,
         q, k, v = qkv[0], qkv[1], qkv[2]
         attn = ctx.matmul(f"{p}.attn.matmul1", q,
                           jnp.swapaxes(k, -2, -1)) * scale
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = softmax_f32(attn, axis=-1)
         y = ctx.matmul(f"{p}.attn.matmul2", attn, v)
         y = y.transpose(0, 2, 1, 3).reshape(B, N, d)
         y = ctx.linear(f"{p}.attn.proj", y, blk["attn"]["proj"]["weight"],

@@ -85,3 +85,25 @@ def test_full_model_int8_forward(rng):
         fake = np.asarray(net.apply(x, qstate=qstate))
         int8 = np.asarray(net.apply(x, qstate=qstate, int8=True))
         np.testing.assert_allclose(int8, fake, rtol=1e-3, atol=1e-3)
+
+
+def test_bf16_compute_mode_close_to_f32(rng):
+    """Serving mode: bf16 activations + int8 matmuls stays close to the
+    fp32 int8 path (top-1 decisions should rarely differ)."""
+    net = tiny_net()
+    calib = rng.standard_normal((8, 3, 32, 32)).astype(np.float32)
+    qstate = HessianQuantCalibrator(net, small_cfg(ptq4vit()), calib,
+                                    batch_size=4) \
+        .batching_quant_calib(verbose=False)
+    x = jnp.asarray(calib[:4])
+    f32 = np.asarray(net.forward(net.params, x, net.cfg, qstate=qstate,
+                                 int8=True))
+    bf16 = np.asarray(net.forward(net.params, x, net.cfg, qstate=qstate,
+                                  int8=True, compute_dtype=jnp.bfloat16))
+    assert bf16.dtype == np.dtype(jnp.bfloat16)
+    rel = np.abs(bf16.astype(np.float32) - f32).max() / \
+        (np.abs(f32).max() + 1e-9)
+    assert rel < 0.1
+    # FP (unquantized) bf16 mode also runs
+    fp_bf = net.forward(net.params, x, net.cfg, compute_dtype=jnp.bfloat16)
+    assert fp_bf.dtype == jnp.bfloat16
