@@ -55,3 +55,17 @@ def test_high_level_api(rng):
                            config=small_cfg(base_ptq()),
                            bits=(8, 8), batch_size=4)
     assert len(qstate) == len(net.op_inventory)
+
+
+def _mp_experiment(tag=None, out_dir=None):
+    # trivial experiment body (no jax) — exercises the queue mechanics
+    with open(os.path.join(out_dir, f"{tag}.done"), "w") as f:
+        f.write("ok")
+
+
+def test_multiprocess_queue(tmp_path):
+    import test_vit as tv
+    cfg_list = [{"tag": f"t{i}", "out_dir": str(tmp_path)} for i in range(5)]
+    tv.multiprocess(_mp_experiment, cfg_list, n_workers=2)
+    done = sorted(p.name for p in tmp_path.glob("*.done"))
+    assert done == [f"t{i}.done" for i in range(5)]
