@@ -42,9 +42,15 @@ from ..quant.qparams import ConvQP, LinearQP, MatMulQP
 
 DEFAULT_BUDGET = 2 << 30  # bytes of out_sim scratch per candidate chunk
 
-# opt-in fused Pallas scorer for the production linear w-search case
-# (n_V=n_H=1, hessian); see ops/pallas_search.py
-USE_PALLAS = os.environ.get("PTQ4VIT_TPU_PALLAS", "0") == "1"
+# fused Pallas scorer for the production linear w-search case (n_H=1,
+# hessian) — ~4.6x the XLA scorer on TPU (see ops/pallas_search.py).  On by
+# default on accelerator backends; PTQ4VIT_TPU_PALLAS=0/1 overrides.
+def _pallas_default() -> bool:
+    flag = os.environ.get("PTQ4VIT_TPU_PALLAS")
+    if flag is not None:
+        return flag == "1"
+    import jax as _jax
+    return _jax.default_backend() != "cpu"
 
 
 # ---------------------------------------------------------------------------
@@ -172,20 +178,21 @@ def _linear_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
 
     w4 = fq.blocked_weight_view(w, n_V, n_H)              # n_V,crb_r,n_H,crb_c
 
-    pallas_ok = (use_pallas and n_V == 1 and n_H == 1
-                 and policy.metric == "hessian")
+    from ..ops.pallas_search import pallas_tile_ok
+    pallas_ok = (use_pallas and n_H == 1 and policy.metric == "hessian"
+                 and pallas_tile_ok(oc, n_V))
 
     def score_w_pallas(w_int, a_int):
         """Fused VMEM scorer (ops/pallas_search.py): all eq_n candidates in
         one kernel, no out_sim materialization.  Same reduction up to the
-        uniform 1/(T*oc) factor."""
+        uniform 1/(T*crb_r) factor."""
         from ..ops.pallas_search import linear_w_hessian_sims
         x_sim = _quant_act_linear(x, a_int, a_neg, policy).reshape(S * T, ic)
         rawb = raw_out if b is None else raw_out - b
         sims = linear_w_hessian_sims(
-            x_sim, w, w_cands.reshape(eq_n), rawb.reshape(S * T, oc),
+            x_sim, w, w_cands.reshape(eq_n, n_V), rawb.reshape(S * T, oc),
             raw_grad.reshape(S * T, oc), w_qmax)
-        return (sims / (T * oc))[:, None]                  # eq_n, 1
+        return sims / (T * crb_r)                          # eq_n, n_V
 
     def score_w(w_int, a_int, h):
         """Summed similarities (eq_n, n_V) of candidate intervals for
@@ -341,7 +348,7 @@ def search_linear(w, b, cap, policy: OpPolicy,
     P, bs = plan_chunks(policy.eq_n, S, T * oc, budget)
     w_int, a_int = _linear_search_jit(
         jnp.asarray(w), None if b is None else jnp.asarray(b),
-        x, raw_out, grad, policy, P, bs, use_pallas=USE_PALLAS)
+        x, raw_out, grad, policy, P, bs, use_pallas=_pallas_default())
     postgelu = policy.quantizer == "postgelu_linear"
     a_qmax = fq.qmax_for_bit(policy.a_bit)
     return LinearQP(

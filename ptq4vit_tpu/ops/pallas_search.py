@@ -31,10 +31,15 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-def _kernel(cand_ref, x_ref, w_ref, raw_ref, g_ref, out_ref, *, qmax: int):
+def _kernel(cand_ref, x_ref, w_ref, raw_ref, g_ref, out_ref, *,
+            qmax: int, n_V: int, crb_tiles: int):
+    p = pl.program_id(0)
     m = pl.program_id(1)
     o = pl.program_id(2)
-    delta = cand_ref[0, 0]
+    # row-block (n_V) this output tile belongs to; oc padding tiles clamp to
+    # the last block and contribute zero (their grad rows are zero)
+    v = jnp.minimum(o // crb_tiles, n_V - 1)
+    delta = cand_ref[p, v]                  # candidates (P, n_V) in SMEM
     w_sim = jnp.clip(jnp.round(w_ref[:] / delta), -qmax, qmax - 1) * delta
     out = jax.lax.dot_general(
         x_ref[:], w_sim, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -44,9 +49,15 @@ def _kernel(cand_ref, x_ref, w_ref, raw_ref, g_ref, out_ref, *, qmax: int):
 
     @pl.when((m == 0) & (o == 0))
     def _():
-        out_ref[0, 0] = 0.0
+        for vv in range(n_V):
+            out_ref[p, vv] = 0.0
 
-    out_ref[0, 0] += part
+    out_ref[p, v] += part
+
+
+def pallas_tile_ok(oc: int, n_V: int) -> bool:
+    """The output tile must not straddle row blocks: TO | oc/n_V."""
+    return n_V == 1 or (oc % n_V == 0 and (oc // n_V) % 128 == 0)
 
 
 @functools.partial(jax.jit, static_argnames=("qmax", "interpret"))
@@ -56,18 +67,25 @@ def linear_w_hessian_sims(x_sim, w, cands, raw_minus_bias, grad,
 
     x_sim:          (M, ic) already input-quantized activations
     w:              (oc, ic) fp32 weight
-    cands:          (P,) candidate scale values (layerwise, n_V = n_H = 1)
+    cands:          (P,) or (P, n_V) candidate scale values (n_H = 1;
+                    n_V row blocks need TO | oc/n_V — see pallas_tile_ok)
     raw_minus_bias: (M, oc) FP32 reference output with bias pre-subtracted
     grad:           (M, oc) ∂L/∂out
-    Returns (P,) float32 un-normalized similarity sums.
+    Returns (P,) or (P, n_V) float32 un-normalized similarity sums.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     M, ic = x_sim.shape
     oc = w.shape[0]
     P = cands.shape[0]
+    squeeze = cands.ndim == 1
+    if squeeze:
+        cands = cands[:, None]
+    n_V = cands.shape[1]
 
-    TM, TO = 512, 256
+    TM = 512
+    TO = 256 if n_V == 1 or (oc // n_V) % 256 == 0 else 128
+    crb_tiles = (oc // n_V) // TO if n_V > 1 else 1 << 30
     Mp, ocp, icp = _round_up(M, TM), _round_up(oc, TO), _round_up(ic, 128)
     # zero padding is exact: padded grad rows/cols contribute 0 to the sum,
     # padded ic columns multiply zero weights
@@ -78,11 +96,11 @@ def linear_w_hessian_sims(x_sim, w, cands, raw_minus_bias, grad,
 
     grid = (P, Mp // TM, ocp // TO)
     sims = pl.pallas_call(
-        functools.partial(_kernel, qmax=qmax),
+        functools.partial(_kernel, qmax=qmax, n_V=n_V, crb_tiles=crb_tiles),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda p, m, o: (p, 0),
-                         memory_space=pltpu.SMEM),
+            # whole candidate vector in SMEM, indexed by program_id(0)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TM, icp), lambda p, m, o: (m, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TO, icp), lambda p, m, o: (o, 0),
@@ -92,10 +110,8 @@ def linear_w_hessian_sims(x_sim, w, cands, raw_minus_bias, grad,
             pl.BlockSpec((TM, TO), lambda p, m, o: (m, o),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda p, m, o: (p, 0),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((P, 1), jnp.float32),
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((P, n_V), jnp.float32),
         interpret=interpret,
-    )(cands.reshape(P, 1).astype(jnp.float32), x_sim, w,
-      raw_minus_bias, grad)
-    return sims[:, 0]
+    )(cands.astype(jnp.float32), x_sim, w, raw_minus_bias, grad)
+    return sims[:, 0] if squeeze else sims
