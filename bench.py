@@ -60,6 +60,9 @@ def main():
                                         sequential=False, batch_size=4,
                                         cache_dtype=cache_dtype)
     qstate = calibrator.batching_quant_calib(verbose=False)
+    # force completion: fetch the (tiny) calibrated intervals — on the axon
+    # backend block_until_ready can return before execution finishes
+    qstate = jax.device_get(qstate)
     minutes = (time.time() - t0) / 60.0
     assert len(qstate) == len(net.op_inventory)
 

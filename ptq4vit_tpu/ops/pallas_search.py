@@ -83,10 +83,21 @@ def linear_w_hessian_sims(x_sim, w, cands, raw_minus_bias, grad,
         cands = cands[:, None]
     n_V = cands.shape[1]
 
-    TM = 512
-    TO = 256 if n_V == 1 or (oc // n_V) % 256 == 0 else 128
+    # tile choice under the VMEM budget: x/w tiles plus raw/grad/out tiles,
+    # double-buffered by the pipeline
+    icp = _round_up(ic, 128)
+    TM = TO = None
+    for tm, to in ((512, 256), (256, 256), (256, 128), (128, 128),
+                   (64, 128), (32, 128)):
+        if n_V > 1 and (oc // n_V) % to != 0:
+            continue
+        if (tm * icp + to * icp + 2 * tm * to) * 4 * 2 <= 10 << 20:
+            TM, TO = tm, to
+            break
+    if TM is None:
+        TM, TO = 32, 128
     crb_tiles = (oc // n_V) // TO if n_V > 1 else 1 << 30
-    Mp, ocp, icp = _round_up(M, TM), _round_up(oc, TO), _round_up(ic, 128)
+    Mp, ocp = _round_up(M, TM), _round_up(oc, TO)
     # zero padding is exact: padded grad rows/cols contribute 0 to the sum,
     # padded ic columns multiply zero weights
     x_sim = jnp.pad(x_sim, ((0, Mp - M), (0, icp - ic)))
