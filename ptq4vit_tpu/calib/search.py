@@ -181,6 +181,7 @@ def _linear_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
     from ..ops.pallas_search import pallas_tile_ok
     pallas_ok = (use_pallas and n_H == 1 and policy.metric == "hessian"
                  and pallas_tile_ok(oc, n_V))
+    pallas_a_ok = (use_pallas and n_a == 1 and policy.metric == "hessian")
 
     def score_w_pallas(w_int, a_int):
         """Fused VMEM scorer (ops/pallas_search.py): all eq_n candidates in
@@ -235,9 +236,24 @@ def _linear_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
         _, sims = jax.lax.scan(cand_body, None, w_cands_c)
         return sims.reshape(-1, n_V)[:eq_n]
 
+    def score_a_pallas(w_int):
+        """Fused input-interval scorer (ops/pallas_search.py); x quantized
+        per candidate in-kernel, same reduction up to 1/(T*oc)."""
+        from ..ops.pallas_search import linear_a_hessian_sims
+        w_sim = fq.fake_quant_weight_blocked(w, w_int, w_qmax)
+        rawb = raw_out if b is None else raw_out - b
+        sims = linear_a_hessian_sims(
+            x.reshape(S * T, ic), w_sim, a_cands.reshape(eq_n),
+            rawb.reshape(S * T, oc), raw_grad.reshape(S * T, oc),
+            a_qmax, postgelu=postgelu,
+            a_neg=(fq.GELU_NEG_CLIP / a_qmax if postgelu else 0.0))
+        return sims / (T * oc)
+
     def score_a(w_int, a_int, a):
         """Summed similarities (eq_n,) of candidate intervals for input
         group a (linear.py:497-533, :609-642)."""
+        if pallas_a_ok:
+            return score_a_pallas(w_int)
         w_sim = fq.fake_quant_weight_blocked(w, w_int, w_qmax)
         mask_a = (jax.lax.broadcasted_iota(jnp.int32, (1, n_a, 1), 1) == a)
 

@@ -126,3 +126,85 @@ def linear_w_hessian_sims(x_sim, w, cands, raw_minus_bias, grad,
         interpret=interpret,
     )(cands.astype(jnp.float32), x_sim, w, raw_minus_bias, grad)
     return sims[:, 0] if squeeze else sims
+
+
+def _a_kernel(cand_ref, x_ref, w_ref, raw_ref, g_ref, out_ref, *,
+              a_qmax: int, postgelu: bool, a_neg: float):
+    p = pl.program_id(0)
+    m = pl.program_id(1)
+    o = pl.program_id(2)
+    delta = cand_ref[p]
+    x = x_ref[:]
+    if postgelu:
+        # twin post-GELU: searched positive interval + fixed negative
+        # interval (reference linear.py:609-642)
+        xq = (jnp.clip(jnp.round(x / delta), 0, a_qmax - 1) * delta
+              + jnp.clip(jnp.round(x / a_neg), -a_qmax, 0) * a_neg)
+    else:
+        xq = jnp.clip(jnp.round(x / delta), -a_qmax, a_qmax - 1) * delta
+    out = jax.lax.dot_general(
+        xq, w_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # TM, TO
+    d = g_ref[:] * (raw_ref[:] - out)
+    part = -jnp.sum(d * d)
+
+    @pl.when((m == 0) & (o == 0))
+    def _():
+        out_ref[p] = 0.0
+
+    out_ref[p] += part
+
+
+@functools.partial(jax.jit, static_argnames=("a_qmax", "postgelu",
+                                             "a_neg", "interpret"))
+def linear_a_hessian_sims(x, w_sim, cands, raw_minus_bias, grad,
+                          a_qmax: int, postgelu: bool = False,
+                          a_neg: float = 0.0, interpret: bool = None):
+    """Fused input-interval scorer (layerwise n_a = 1, hessian metric).
+
+    x:     (M, ic) RAW activations (quantized per candidate in-kernel)
+    w_sim: (oc, ic) weight already fake-quantized with the current intervals
+    cands: (P,) input-scale candidates
+    Returns (P,) un-normalized similarity sums.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    M, ic = x.shape
+    oc = w_sim.shape[0]
+    P = cands.shape[0]
+    icp = _round_up(ic, 128)
+    TM = TO = None
+    for tm, to in ((512, 256), (256, 256), (256, 128), (128, 128),
+                   (64, 128), (32, 128)):
+        if (tm * icp + to * icp + 2 * tm * to) * 4 * 2 <= 10 << 20:
+            TM, TO = tm, to
+            break
+    if TM is None:
+        TM, TO = 32, 128
+    Mp, ocp = _round_up(M, TM), _round_up(oc, TO)
+    x = jnp.pad(x, ((0, Mp - M), (0, icp - ic)))
+    w_sim = jnp.pad(w_sim, ((0, ocp - oc), (0, icp - ic)))
+    raw_minus_bias = jnp.pad(raw_minus_bias, ((0, Mp - M), (0, ocp - oc)))
+    grad = jnp.pad(grad, ((0, Mp - M), (0, ocp - oc)))
+
+    grid = (P, Mp // TM, ocp // TO)
+    sims = pl.pallas_call(
+        functools.partial(_a_kernel, a_qmax=a_qmax, postgelu=postgelu,
+                          a_neg=float(a_neg)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TM, icp), lambda p, m, o: (m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TO, icp), lambda p, m, o: (o, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TO), lambda p, m, o: (m, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TO), lambda p, m, o: (m, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((P,), jnp.float32),
+        interpret=interpret,
+    )(cands.astype(jnp.float32), x, w_sim, raw_minus_bias, grad)
+    return sims

@@ -85,3 +85,27 @@ def test_pallas_tile_ok():
     assert pallas_tile_ok(1000, 1)          # head: any oc with n_V=1
     assert pallas_tile_ok(2304, 3)          # ViT-B qkv: crb 768
     assert not pallas_tile_ok(300, 3)       # crb 100: straddles tiles
+
+
+def test_search_postgelu_pallas_matches_xla(rng):
+    """Twin post-GELU path through both fused scorers == XLA scorers."""
+    import jax.numpy as jnp
+    from ptq4vit_tpu.calib.search import _linear_search_jit, plan_chunks
+    from ptq4vit_tpu.configs.policy import OpPolicy
+    pol = OpPolicy(quantizer="postgelu_linear", metric="hessian",
+                   eq_alpha=0.01, eq_beta=1.2, eq_n=12, search_round=2,
+                   w_bit=8, a_bit=8)
+    S, T, ic, oc = 4, 9, 32, 24
+    w = rng.standard_normal((oc, ic)).astype(np.float32)
+    b = rng.standard_normal((oc,)).astype(np.float32)
+    x = np.abs(rng.standard_normal((S, T, ic))).astype(np.float32)
+    x[:, :, ::4] *= -0.05
+    raw = (x @ w.T + b).astype(np.float32)
+    g = rng.standard_normal(raw.shape).astype(np.float32)
+    P, bs = plan_chunks(pol.eq_n, S, T * oc)
+    args = (jnp.asarray(w), jnp.asarray(b), jnp.asarray(x),
+            jnp.asarray(raw), jnp.asarray(g), pol, P, bs)
+    w1, a1 = _linear_search_jit(*args, use_pallas=False)
+    w2, a2 = _linear_search_jit(*args, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-6)
