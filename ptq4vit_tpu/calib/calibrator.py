@@ -154,18 +154,29 @@ class HessianQuantCalibrator:
             return None
         return os.path.join(self.checkpoint_dir, name.replace("/", "_") + ".npz")
 
+    def _ckpt_scope(self, mtype: str) -> str:
+        """Identity stamp for resume validation: reusing a checkpoint_dir
+        across models or configs (different bits/n_V/...) must not silently
+        return stale QPs."""
+        return f"{self.net.name}|{self.cfg.name}|{self.cfg.op_policy(mtype)}"
+
     def _load_ckpt(self, name: str, mtype: str):
         p = self._ckpt_path(name)
         if p is None or not os.path.exists(p):
             return None
+        import json
+        with np.load(p) as data:
+            meta = json.loads(str(data["__meta__"]))
+        if meta.get("scope") != self._ckpt_scope(mtype):
+            return None  # stale (other model/config) -> recalibrate
         return load_op_qp(p)
 
-    def _save_ckpt(self, name: str, qp):
+    def _save_ckpt(self, name: str, mtype: str, qp):
         p = self._ckpt_path(name)
         if p is None:
             return
         os.makedirs(self.checkpoint_dir, exist_ok=True)
-        save_op_qp(p, qp)
+        save_op_qp(p, qp, scope=self._ckpt_scope(mtype))
 
     def quant_calib(self, verbose: bool = True) -> Dict[str, Any]:
         """Reference-compatible alias (quant_calib.py:95-104, :216-298):
@@ -221,7 +232,7 @@ class HessianQuantCalibrator:
                 qp = self._search_one(name, mtype, policies[name], raw[name])
                 self.report.search_seconds[name] = time.time() - t0
                 qstate[name] = qp
-                self._save_ckpt(name, qp)
+                self._save_ckpt(name, mtype, qp)
             return qstate
 
         # probe target once for all groups (quant_calib.py:309-313); one
@@ -284,7 +295,7 @@ class HessianQuantCalibrator:
                 # dispatch + any compile, not device occupancy
                 self.report.search_seconds[name] = time.time() - t0
                 qstate[name] = qp
-                self._save_ckpt(name, qp)
+                self._save_ckpt(name, mtype, qp)
                 raw[name] = None  # free the group caches eagerly
                 if verbose:
                     print(f"[calib] {name}: "
@@ -393,10 +404,12 @@ def apply_bias_correction(net, qstate: Dict[str, Any], calib_x: np.ndarray,
 _QP_KINDS = {"LinearQP": LinearQP, "MatMulQP": MatMulQP, "ConvQP": ConvQP}
 
 
-def save_op_qp(path: str, qp) -> None:
+def save_op_qp(path: str, qp, scope: Optional[str] = None) -> None:
     import json
     arrays = {}
     meta = {"kind": type(qp).__name__}
+    if scope is not None:
+        meta["scope"] = scope
     for f in dataclasses.fields(qp):
         v = getattr(qp, f.name)
         if v is None:
@@ -412,6 +425,7 @@ def load_op_qp(path: str):
     import json
     data = np.load(path)
     meta = json.loads(str(data["__meta__"]))
+    meta.pop("scope", None)
     cls = _QP_KINDS[meta.pop("kind")]
     kw = dict(meta)
     for k in data.files:

@@ -682,10 +682,9 @@ def _conv_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
         return sims.reshape((-1, oc) if channelwise else (-1,))[:eq_n]
 
     def score_a(w_int, a_int):
-        if channelwise:
-            w_sim = fq.int_quant(w / w_int, w_qmax) * w_int
-        else:
-            w_sim = fq.fake_quant(w, w_int, w_qmax)
+        # (oc,1) channelwise interval broadcasts over (oc,icp); scalar
+        # layerwise likewise (reference quant_weight_bias, conv.py:570)
+        w_sim = fq.fake_quant(w, w_int, w_qmax)
 
         def cand_body(_, ac):                              # (P,)
             def batch_body(acc, inp):

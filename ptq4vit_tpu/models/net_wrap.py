@@ -49,8 +49,12 @@ def wrap_certain_modules_in_net(net, cfg, layers: Sequence[int],
         leaf = name.rsplit(".", 1)[-1]
         if leaf not in modules_to_wrap:
             continue
-        m = re.search(r"\d+", name)
-        if m is not None and int(m.group()) not in layers:
+        # transformer-block index: Swin paths look like
+        # layers.<stage>.blocks.<idx>.attn.qkv — the first integer is the
+        # stage, not the block the reference ablation keys on
+        # (net_wrap.py:104-107); prefer the explicit blocks.<idx>
+        m = re.search(r"blocks\.(\d+)", name) or re.search(r"\d+", name)
+        if m is not None and int(m.group(m.lastindex or 0)) not in layers:
             continue
         out[name] = mtype
     return out

@@ -107,6 +107,26 @@ def test_checkpoint_resume(tmp_path, net, calib_x):
             np.asarray(a), np.asarray(b)), q1[n], q2[n])
 
 
+def test_checkpoint_scope_mismatch(tmp_path, net, calib_x):
+    """Reusing a checkpoint_dir across configs must not silently return
+    stale QPs (ADVICE r1): a bit change invalidates every checkpoint."""
+    d = str(tmp_path / "ck")
+    HessianQuantCalibrator(net, small_cfg(ptq4vit()), calib_x, batch_size=4,
+                           checkpoint_dir=d) \
+        .batching_quant_calib(verbose=False)
+    c2 = HessianQuantCalibrator(net, small_cfg(ptq4vit()).set_bits(6, 6),
+                                calib_x, batch_size=4, checkpoint_dir=d)
+    q2 = c2.batching_quant_calib(verbose=False)
+    # every op re-searched, and the result carries the new bits
+    assert len(c2.report.search_seconds) == len(q2)
+    assert q2["blocks.0.attn.qkv"].w_bit == 6
+    # and the refreshed checkpoints resume cleanly under the new config
+    c3 = HessianQuantCalibrator(net, small_cfg(ptq4vit()).set_bits(6, 6),
+                                calib_x, batch_size=4, checkpoint_dir=d)
+    c3.batching_quant_calib(verbose=False)
+    assert len(c3.report.search_seconds) == 0
+
+
 def test_qstate_save_load(tmp_path, net, calib_x):
     cfg = small_cfg(ptq4vit())
     qstate = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4) \

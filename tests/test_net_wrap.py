@@ -32,6 +32,27 @@ def test_wrap_certain_modules_subset():
     assert set(wm2) == {"patch_embed.proj", "blocks.0.attn.matmul1"}
 
 
+def test_wrap_certain_modules_swin_block_index():
+    """Swin paths carry a stage index before the block index
+    (layers.<stage>.blocks.<idx>....); ablation selection must key on the
+    BLOCK index (reference net_wrap.py:104-107), not the first integer."""
+    class FakeNet:
+        op_inventory = [
+            ("patch_embed.proj", "qconv"),
+            ("layers.0.blocks.0.attn.qkv", "qlinear_qkv"),
+            ("layers.0.blocks.1.attn.qkv", "qlinear_qkv"),
+            ("layers.2.blocks.0.attn.qkv", "qlinear_qkv"),
+            ("layers.2.blocks.5.attn.qkv", "qlinear_qkv"),
+        ]
+    wm = wrap_certain_modules_in_net(FakeNet(), ptq4vit(), layers=[0],
+                                     modules_to_wrap=["qkv"])
+    assert set(wm) == {"layers.0.blocks.0.attn.qkv",
+                       "layers.2.blocks.0.attn.qkv"}
+    wm5 = wrap_certain_modules_in_net(FakeNet(), ptq4vit(), layers=[5],
+                                      modules_to_wrap=["qkv"])
+    assert set(wm5) == {"layers.2.blocks.5.attn.qkv"}
+
+
 def test_partial_calibration_runs(rng):
     net = tiny_net()
     calib = rng.standard_normal((8, 3, 32, 32)).astype(np.float32)

@@ -272,17 +272,26 @@ def oracle_conv(wm, b, x, raw_out, grad, pol, channelwise):
     S_, N, icp = x.shape
     oc = wm.shape[0]
     wq = 2 ** (pol.w_bit - 1)
+    aq = 2 ** (pol.a_bit - 1)
+    quant_act = pol.a_bit < 32
     g = grid_t(pol)
     if channelwise:
         w_int = wm.abs().amax(1, keepdim=True) / (wq - 0.5)  # oc,1
     else:
         w_int = wm.abs().max() / (wq - 0.5)
     w_c = [g[i] * w_int for i in range(pol.eq_n)]
+    a_int = x.abs().max() / (aq - 0.5) if quant_act else None
+    a_c = [g[i] * a_int for i in range(pol.eq_n)] if quant_act else None
+
+    def qx(xx, ai):
+        return (xx / ai).round().clamp(-aq, aq - 1) * ai
+
     for _ in range(pol.search_round):
         sims = []
+        xin = qx(x, a_int) if quant_act else x
         for i in range(pol.eq_n):
             w_sim = (wm / w_c[i]).round().clamp(-wq, wq - 1) * w_c[i]
-            out = x @ w_sim.t()
+            out = xin @ w_sim.t()
             if b is not None:
                 out = out + b
             if channelwise:
@@ -304,7 +313,30 @@ def oracle_conv(wm, b, x, raw_out, grad, pol, channelwise):
                 w_int[c] = w_c[best[c]][c]
         else:
             w_int = w_c[int(best)]
-    return np.asarray(w_int)
+        if quant_act:
+            # activation search (conv.py:559-589): elementwise metric,
+            # mean over tokens+channels, summed over batch, scalar argmax
+            w_sim = (wm / w_int).round().clamp(-wq, wq - 1) * w_int
+            sims = []
+            for i in range(pol.eq_n):
+                out = qx(x, a_c[i]) @ w_sim.t()
+                if b is not None:
+                    out = out + b
+                if channelwise:
+                    if pol.metric == "cosine":
+                        s = torch.nn.functional.cosine_similarity(
+                            raw_out.transpose(1, 2), out.transpose(1, 2),
+                            dim=-1).mean(1)                 # S
+                    else:
+                        gr = None if grad is None else grad
+                        s = (-(gr * (raw_out - out)) ** 2 if pol.metric ==
+                             "hessian" else -((raw_out - out) ** 2))
+                        s = s.mean([1, 2])                  # S
+                else:
+                    s = tsim(raw_out, out, pol.metric, grad).mean(1)
+                sims.append(s.sum(0))
+            a_int = a_c[int(torch.stack(sims).argmax())]
+    return np.asarray(w_int), (None if a_int is None else np.asarray(a_int))
 
 
 @pytest.mark.parametrize("channelwise,metric", [(True, "hessian"),
@@ -323,11 +355,38 @@ def test_conv_search_parity(rng, channelwise, metric):
     grad = rng.standard_normal(raw_out.shape).astype(np.float32)
     cap = OpCapture(kind="conv", inputs={"x": x}, out=raw_out, grad=grad)
     qp = S.search_conv(w, b, cap, pol)
-    ref = oracle_conv(w.reshape(oc, -1), b, x, raw_out,
-                      grad if metric == "hessian" else None, pol, channelwise)
+    ref, _ = oracle_conv(w.reshape(oc, -1), b, x, raw_out,
+                         grad if metric == "hessian" else None, pol,
+                         channelwise)
     got = np.asarray(qp.w_interval).reshape(-1)
     np.testing.assert_allclose(got, ref.reshape(-1), rtol=1e-6)
     assert qp.a_interval is None  # a_bit=32 -> activation quant off
+
+
+@pytest.mark.parametrize("channelwise,metric", [(True, "hessian"),
+                                                (True, "cosine"),
+                                                (False, "cosine")])
+def test_conv_search_parity_quant_act(rng, channelwise, metric):
+    """a_bit=8 conv path (the shipped configs force a_bit=32, so the
+    activation search branch was previously untested — ADVICE r1)."""
+    pol = OpPolicy(quantizer=("conv_channelwise" if channelwise
+                              else "conv_layerwise"),
+                   metric=metric, eq_alpha=0.2, eq_beta=1.2, eq_n=8,
+                   search_round=2, w_bit=8, a_bit=8)
+    S_, N, ic, p, oc = 4, 9, 3, 2, 6
+    w = rng.standard_normal((oc, ic, p, p)).astype(np.float32)
+    b = rng.standard_normal((oc,)).astype(np.float32)
+    x = rng.standard_normal((S_, N, ic * p * p)).astype(np.float32)
+    raw_out = (x @ w.reshape(oc, -1).T + b).astype(np.float32)
+    grad = rng.standard_normal(raw_out.shape).astype(np.float32)
+    cap = OpCapture(kind="conv", inputs={"x": x}, out=raw_out, grad=grad)
+    qp = S.search_conv(w, b, cap, pol)
+    ref_w, ref_a = oracle_conv(w.reshape(oc, -1), b, x, raw_out,
+                               grad if metric == "hessian" else None, pol,
+                               channelwise)
+    np.testing.assert_allclose(np.asarray(qp.w_interval).reshape(-1),
+                               ref_w.reshape(-1), rtol=1e-6)
+    np.testing.assert_allclose(float(qp.a_interval), float(ref_a), rtol=1e-6)
 
 
 def test_matmul_search_recompute_raw_out_equivalent(rng):
