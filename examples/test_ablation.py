@@ -2,6 +2,7 @@
 """Ablation grid — counterpart of the reference's example/test_ablation.py
 (hahnyuan/PTQ4ViT): metric {hessian,cosine} x no_softmax x no_postgelu x
 bits, search_round=3."""
+import json
 import os
 import sys
 from itertools import product
@@ -25,15 +26,19 @@ def test_all_ablation(name, cfg_modifier=None, calib_size=32, args=None):
     qstate = calibrator.batching_quant_calib()
     acc = test_classification(net, test_loader, qstate=qstate,
                               max_iteration=args.max_iteration)
-    print(f"model: {name} \n")
-    print(f"calibration size: {calib_size} \n")
-    print(f"bit settings: {quant_cfg.bit} \n")
-    print(f"no_softmax: {quant_cfg.no_softmax} "
-          f"no_postgelu: {quant_cfg.no_postgelu} \n")
-    print(f"accuracy: {acc} \n\n")
+    # one JSON line per ablation cell (same reporting idiom as bench.py)
+    print(json.dumps({
+        "model": name,
+        "calib_size": calib_size,
+        "w_bit": quant_cfg.bit,
+        "metric": quant_cfg.ptqsl_linear_kwargs["metric"],
+        "no_softmax": quant_cfg.no_softmax,
+        "no_postgelu": quant_cfg.no_postgelu,
+        "top1": acc,
+    }), flush=True)
 
 
-class cfg_modifier:
+class CfgModifier:
     def __init__(self, **kwargs):
         for name, value in kwargs.items():
             setattr(self, name, value)
@@ -45,6 +50,9 @@ class cfg_modifier:
                               search_round=self.search_round,
                               no_softmax=self.no_softmax,
                               no_postgelu=self.no_postgelu)
+
+
+cfg_modifier = CfgModifier  # reference-spelled alias
 
 
 if __name__ == "__main__":
@@ -68,7 +76,7 @@ if __name__ == "__main__":
                          calib_sizes, bit_settings, no_softmaxs, no_postgelus):
         cfg_list.append({
             "name": name,
-            "cfg_modifier": cfg_modifier(
+            "cfg_modifier": CfgModifier(
                 linear_ptq_setting=lp, metric=metric, search_round=sr,
                 bit_setting=bits, no_softmax=nsm, no_postgelu=npg),
             "calib_size": calib_size,

@@ -2,6 +2,7 @@
 """Full benchmark grid — counterpart of the reference's example/test_all.py
 (hahnyuan/PTQ4ViT): 13 models x calib {32,128} x bits {(8,8),(6,6)} x
 configs {PTQ4ViT, BasePTQ}, with per-run calibration timing."""
+import json
 import os
 import sys
 import time
@@ -32,18 +33,22 @@ def test_all(name, cfg_modifier=None, calib_size=32, config_name="PTQ4ViT",
     acc = test_classification(net, test_loader, qstate=qstate,
                               max_iteration=args.max_iteration)
 
-    print(f"model: {name} \n")
-    print(f"calibration size: {calib_size} \n")
-    print(f"bit settings: {quant_cfg.bit} \n")
-    print(f"config: {config_name} \n")
-    print(f"ptqsl_conv2d_kwargs: {quant_cfg.ptqsl_conv2d_kwargs} \n")
-    print(f"ptqsl_linear_kwargs: {quant_cfg.ptqsl_linear_kwargs} \n")
-    print(f"ptqsl_matmul_kwargs: {quant_cfg.ptqsl_matmul_kwargs} \n")
-    print(f"calibration time: {(calib_end_time - calib_start_time) / 60}min \n")
-    print(f"accuracy: {acc} \n\n")
+    # one JSON line per grid cell (same reporting idiom as bench.py)
+    print(json.dumps({
+        "model": name,
+        "config": config_name,
+        "calib_size": calib_size,
+        "w_bit": quant_cfg.bit,
+        "linear_kwargs": quant_cfg.ptqsl_linear_kwargs,
+        "calib_minutes": round((calib_end_time - calib_start_time) / 60, 3),
+        "capture_seconds": round(calibrator.report.capture_seconds, 2),
+        "search_seconds": round(sum(
+            calibrator.report.search_seconds.values()), 2),
+        "top1": acc,
+    }), flush=True)
 
 
-class cfg_modifier:
+class CfgModifier:
     """In-place config mutation (reference test_all.py:48-78)."""
 
     def __init__(self, **kwargs):
@@ -54,6 +59,9 @@ class cfg_modifier:
         return apply_modifier(cfg, bit_setting=self.bit_setting,
                               linear_ptq_setting=self.linear_ptq_setting,
                               metric=self.metric)
+
+
+cfg_modifier = CfgModifier  # reference-spelled alias
 
 
 NAMES = [
@@ -88,8 +96,8 @@ if __name__ == "__main__":
             config_names):
         cfg_list.append({
             "name": name,
-            "cfg_modifier": cfg_modifier(linear_ptq_setting=lp, metric=metric,
-                                         bit_setting=bits),
+            "cfg_modifier": CfgModifier(linear_ptq_setting=lp, metric=metric,
+                                        bit_setting=bits),
             "calib_size": calib_size,
             "config_name": config_name,
             "args": args,
