@@ -158,7 +158,7 @@ def _linear_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
         xg = fq.grouped_act_view(x, n_a)
         v = jnp.abs(xg) if not postgelu else xg
         a_int0 = jnp.broadcast_to(
-            (jnp.max(v) / (a_qmax - 0.5)).reshape(1, 1), (n_a, 1))
+            fq.exact_div(jnp.max(v), a_qmax - 0.5).reshape(1, 1), (n_a, 1))
     else:
         w_int0 = fq.blocked_weight_interval_init(w, n_V, n_H, w_qmax)
         a_int0 = fq.grouped_act_interval_init(x, n_a, a_qmax,
@@ -267,7 +267,8 @@ def _linear_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
                 if postgelu:
                     xp = jnp.clip(jnp.round(xq), 0, a_qmax - 1) \
                         * cur[None, None]
-                    xn = jnp.clip(jnp.round(xg / a_neg), -a_qmax, 0) * a_neg
+                    xn = jnp.clip(jnp.round(fq.exact_div(xg, a_neg)),
+                                  -a_qmax, 0) * a_neg
                     x_sim = xp + xn[:, :, None]
                 else:
                     x_sim = jnp.clip(jnp.round(xq), -a_qmax, a_qmax - 1) \
@@ -404,7 +405,8 @@ def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
     def init_interval(x, qmax):
         if policy.init_layerwise:
             return jnp.broadcast_to(
-                (jnp.max(jnp.abs(x)) / (qmax - 0.5)).reshape(1, 1, 1, 1, 1, 1, 1),
+                fq.exact_div(jnp.max(jnp.abs(x)), qmax - 0.5)
+                .reshape(1, 1, 1, 1, 1, 1, 1),
                 (1, n_G, 1, 1, 1, 1, 1))
         return fq.matmul_operand_interval_init(x, n_G, 1, 1, qmax)
 
@@ -552,6 +554,190 @@ def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
     return a_state, B_int
 
 
+@partial(jax.jit, static_argnames=("policy", "P", "bs", "n_G_A", "n_G_B"))
+def _matmul_blocked_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
+                               P: int, bs: int, n_G_A: int, n_G_B: int):
+    """General blocked-operand matmul search: each operand split
+    n_G x n_V x n_H with ceil-div padding (reference PTQSLQuantMatMul
+    matmul.py:109-138; search matmul.py:177-241 and its batching form
+    matmul.py:483-563).  Per (v, h) block position, candidates are spliced
+    into the current interval grid, similarities reduced per head, the
+    group axis ZERO-padded to n_G*crb_g before the per-group mean
+    (matmul.py:519 — reproduced including the zero pad), and argmaxed per
+    group.  The shipped head-wise n_V=n_H=1 case takes the specialized
+    `_matmul_search_jit`; this engine serves the reference's ablation
+    surface.  SoS: split-grid A search (n_*_A forced 1), B blocked.
+    """
+    S, G, R, Ci = A.shape
+    Co = B.shape[-1]
+    sos = policy.quantizer == "sos_matmul"
+    A_qmax = fq.qmax_for_bit(policy.a_bit)
+    B_qmax = fq.qmax_for_bit(policy.b_bit)
+    A = A.astype(jnp.float32)
+    B = B.astype(jnp.float32)
+    recompute_raw = raw_out is None
+    if raw_grad is None:
+        raw_grad = jnp.zeros((1, 1, 1, 1), jnp.float32)
+    nVA, nHA = (1, 1) if sos else (policy.n_V_A, policy.n_H_A)
+    nVB, nHB = policy.n_V_B, policy.n_H_B
+
+    def init_interval(x, qmax, nG, nV, nH):
+        if policy.init_layerwise:
+            return jnp.broadcast_to(
+                fq.exact_div(jnp.max(jnp.abs(x)), qmax - 0.5)
+                .reshape(1, 1, 1, 1, 1, 1, 1), (1, nG, 1, nV, 1, nH, 1))
+        return fq.matmul_operand_interval_init(x, nG, nV, nH, qmax)
+
+    B_int0 = init_interval(B, B_qmax, n_G_B, nVB, nHB)
+    a_state0 = (jnp.float32(0.01) if sos
+                else init_interval(A, A_qmax, n_G_A, nVA, nHA))
+
+    grid = fq.candidate_grid(policy.eq_alpha, policy.eq_beta, policy.eq_n)
+    eq_n = policy.eq_n
+    B_cands = grid[:eq_n].reshape(-1, 1, 1, 1, 1, 1, 1, 1) * B_int0[None]
+    A_cands = (None if sos else
+               grid[:eq_n].reshape(-1, 1, 1, 1, 1, 1, 1, 1) * a_state0[None])
+    splits = fq.sos_split_grid(20)
+
+    Ab = _chunk_batch(A, bs)
+    Bb = _chunk_batch(B, bs)
+    rb = (jnp.zeros((Ab.shape[0], 1, 1, 1, 1), jnp.float32) if recompute_raw
+          else _chunk_batch(raw_out.astype(jnp.float32), bs))
+    gb = (_chunk_batch(raw_grad.astype(jnp.float32), bs)
+          if policy.metric == "hessian"
+          else jnp.zeros((Ab.shape[0], 1, 1, 1, 1), jnp.float32))
+
+    def get_raw(a_s, b_s, r_s):
+        if recompute_raw:
+            return jnp.einsum("bgrc,bgco->bgro", a_s, b_s,
+                              preferred_element_type=jnp.float32)
+        return r_s
+
+    def quant_A_state(a, st):
+        if sos:
+            return fq.sos_quant_softmax(a, st, A_qmax)
+        return fq.fake_quant_matmul_operand(a, st, A_qmax)
+
+    def quant_P(x_s, cur, qmax, nG, nV, nH, R_, C_):
+        """Blocked quant of (bs,G,R_,C_) under P interval grids
+        (P,1,nG,1,nV,1,nH,1) -> (P,bs,G,R_,C_), pad/unpad round trip
+        (matmul.py:124-138)."""
+        crb_g, crb_r, crb_c, pg, pr, pc = fq.matmul_block_shape(
+            x_s.shape, nG, nV, nH)
+        xp = jnp.pad(x_s, ((0, 0), (0, pg), (0, pr), (0, pc)))
+        xbk = xp.reshape(1, bs, nG, crb_g, nV, crb_r, nH, crb_c)
+        cur8 = cur.reshape(P, 1, nG, 1, nV, 1, nH, 1)
+        q = jnp.clip(jnp.round(xbk / cur8), -qmax, qmax - 1) * cur8
+        q = q.reshape(P, bs, nG * crb_g, nV * crb_r, nH * crb_c)
+        return q[:, :, :G, :R_, :C_]
+
+    def head_sims(out, raw, g_s):
+        """(P,bs,G,R,Co) -> (P,G): feature metric over Co, mean over rows,
+        summed over the batch (matmul.py:511-513)."""
+        raw = raw[None]
+        gc = g_s[None] if policy.metric == "hessian" else None
+        if policy.metric == "pearson":
+            ra = raw - jnp.mean(raw, axis=-1, keepdims=True)
+            sa = out - jnp.mean(out, axis=-1, keepdims=True)
+            sim = cosine_similarity(ra, sa, axis=-1)
+        else:
+            sim = _feature_similarity(raw, out, policy.metric, gc, axis=-1)
+        return jnp.sum(jnp.mean(sim, axis=3), axis=1)      # P,G
+
+    def group_reduce(sims, nG):
+        """(eq_n, G) head sims -> (eq_n, nG): ZERO-pad the group axis to
+        nG*crb_g, then per-group mean (matmul.py:519)."""
+        crb_g = -(-G // nG)
+        sims = jnp.pad(sims, ((0, 0), (0, nG * crb_g - G)))
+        return sims.reshape(eq_n, nG, crb_g).mean(-1)
+
+    def search_blocks(opA: bool, a_state, B_int):
+        nG = n_G_A if opA else n_G_B
+        nV = nVA if opA else nVB
+        nH = nHA if opA else nHB
+        cands = A_cands if opA else B_cands
+        cands_c = _pad_chunk_candidates(cands, P)
+        qmax = A_qmax if opA else B_qmax
+        interval0 = a_state if opA else B_int
+        if opA:
+            otherq = jax.vmap(lambda b_s: fq.fake_quant_matmul_operand(
+                b_s, B_int, B_qmax))(Bb)
+        else:
+            otherq = jax.vmap(lambda a_s: quant_A_state(a_s, a_state))(Ab)
+
+        def mask_vh(v, h):
+            shape7 = (1, 1, 1, nV, 1, nH, 1)
+            return ((jax.lax.broadcasted_iota(jnp.int32, shape7, 3) == v)
+                    & (jax.lax.broadcasted_iota(jnp.int32, shape7, 5) == h))
+
+        def vh_body(idx, interval):
+            v, h = idx // nH, idx % nH
+            m = mask_vh(v, h)
+
+            def cand_body(_, cc):                # cc: P,1,nG,1,nV,1,nH,1
+                cur = jnp.where(m, cc, interval[None])
+
+                def batch_body(acc, inp):
+                    a_s, b_s, oq, r_s, g_s = inp
+                    raw = get_raw(a_s, b_s, r_s)
+                    if opA:
+                        x_q = quant_P(a_s, cur, qmax, nG, nV, nH, R, Ci)
+                        out = jnp.einsum("pbgrc,bgco->pbgro", x_q, oq,
+                                         preferred_element_type=jnp.float32)
+                    else:
+                        x_q = quant_P(b_s, cur, qmax, nG, nV, nH, Ci, Co)
+                        out = jnp.einsum("bgrc,pbgco->pbgro", oq, x_q,
+                                         preferred_element_type=jnp.float32)
+                    return acc + head_sims(out, raw, g_s), None
+
+                s, _ = jax.lax.scan(batch_body, jnp.zeros((P, G)),
+                                    (Ab, Bb, otherq, rb, gb))
+                return None, s
+
+            _, sims = jax.lax.scan(cand_body, None, cands_c)
+            sims = group_reduce(sims.reshape(-1, G)[:eq_n], nG)
+            best = jnp.argmax(sims, axis=0)                # (nG,)
+            chosen = jnp.take_along_axis(
+                cands.reshape(eq_n, nG, nV, nH),
+                jnp.broadcast_to(best[None, :, None, None], (1, nG, nV, nH)),
+                axis=0)[0]
+            chosen7 = chosen.reshape(1, nG, 1, nV, 1, nH, 1)
+            return jnp.where(m, chosen7, interval)
+
+        return jax.lax.fori_loop(0, nV * nH, vh_body, interval0)
+
+    def score_splits(B_int):
+        """SoS split grid (matmul.py:600-631; B raw in the A search)."""
+        def cand_body(_, sp):
+            def batch_body(acc, inp):
+                a_s, b_s, r_s, g_s = inp
+                A_sim = fq.sos_quant_softmax(a_s, sp, A_qmax)
+                out = jnp.einsum("bgrc,bgco->bgro", A_sim, b_s,
+                                 preferred_element_type=jnp.float32)
+                raw = get_raw(a_s, b_s, r_s)
+                gc = g_s if policy.metric == "hessian" else None
+                sim = _feature_similarity(raw, out, policy.metric, gc,
+                                          axis=-1)
+                return acc + jnp.sum(jnp.mean(sim, axis=(1, 2))), None
+            s, _ = jax.lax.scan(batch_body, jnp.float32(0.0),
+                                (Ab, Bb, rb, gb))
+            return None, s
+        _, sims = jax.lax.scan(cand_body, None, splits)
+        return sims
+
+    def round_body(_, carry):
+        a_state, B_int = carry
+        if sos:
+            a_state = splits[jnp.argmax(score_splits(B_int))]
+        else:
+            a_state = search_blocks(True, a_state, B_int)
+        B_int = search_blocks(False, a_state, B_int)
+        return a_state, B_int
+
+    return jax.lax.fori_loop(0, policy.search_round, round_body,
+                             (a_state0, B_int0))
+
+
 def search_matmul(cap, policy: OpPolicy,
                   budget: int = DEFAULT_BUDGET) -> MatMulQP:
     """Calibrate an A@B op from captured raw data (head-wise groups).
@@ -564,15 +750,22 @@ def search_matmul(cap, policy: OpPolicy,
             if policy.metric == "hessian" else None)
     S, G, R, _ = A.shape
     Co = B.shape[-1]
-    if policy.n_V_A != 1 or policy.n_H_A != 1 or policy.n_V_B != 1 \
-            or policy.n_H_B != 1:
-        raise NotImplementedError(
-            "n_V/n_H block grids on matmul operands are not used by any "
-            "shipped config (matmul.py:411-417 forces head-wise groups)")
     P, bs = plan_chunks(policy.eq_n, S, G * R * Co, budget)
     sos = policy.quantizer == "sos_matmul"
-    a_state, B_int = _matmul_search_jit(
-        A, B, raw_out, grad, policy, P, bs, G)
+    blocked = (policy.n_V_A != 1 or policy.n_H_A != 1 or policy.n_V_B != 1
+               or policy.n_H_B != 1 or policy.n_G_A > 1 or policy.n_G_B > 1)
+    if blocked:
+        # general n_G x n_V x n_H operand grids (the reference's ablation
+        # surface, matmul.py:177-241); n_G defaults to head-wise like the
+        # batching class (matmul.py:411-417), an explicit policy n_G > 1
+        # overrides it (the non-batching class's free n_G)
+        n_G_A = policy.n_G_A if policy.n_G_A > 1 else G
+        n_G_B = policy.n_G_B if policy.n_G_B > 1 else G
+        a_state, B_int = _matmul_blocked_search_jit(
+            A, B, raw_out, grad, policy, P, bs, n_G_A, n_G_B)
+    else:
+        a_state, B_int = _matmul_search_jit(
+            A, B, raw_out, grad, policy, P, bs, G)
     A_qmax = fq.qmax_for_bit(policy.a_bit)
     if sos:
         return MatMulQP(A_interval=a_state / (A_qmax - 1), B_interval=B_int,
@@ -613,11 +806,11 @@ def _conv_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
             w_int0 = jnp.broadcast_to(fq.minmax_interval(w, w_qmax)
                                       .reshape(1, 1), (oc, 1))
         else:
-            w_int0 = (jnp.amax(jnp.abs(w), axis=1, keepdims=True)
-                      / (w_qmax - 0.5))                    # oc,1
+            w_int0 = fq.exact_div(jnp.amax(jnp.abs(w), axis=1, keepdims=True),
+                                  w_qmax - 0.5)            # oc,1
     else:
         w_int0 = fq.minmax_interval(w, w_qmax).reshape(1, 1)
-    a_int0 = jnp.max(jnp.abs(x)) / (a_qmax - 0.5)
+    a_int0 = fq.exact_div(jnp.max(jnp.abs(x)), a_qmax - 0.5)
 
     grid = fq.candidate_grid(policy.eq_alpha, policy.eq_beta, policy.eq_n)
     eq_n = policy.eq_n
@@ -743,6 +936,129 @@ def _conv_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
     return w_int, a_int
 
 
+@partial(jax.jit, static_argnames=("policy", "P", "bs"))
+def _conv_ptqsl_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
+                           P: int, bs: int):
+    """Sub-layerwise n_V x n_H conv weight grid (reference PTQSLQuantConv2d,
+    conv.py:126-277): per-(v,h) candidate splice into the current interval,
+    channel-axis metric, SCALAR argmax per block position (conv.py:214-219 —
+    unlike the linear search there is no per-row-block argmax), alternating
+    with the layerwise input search (conv.py:222-243, skipped at a_bit>=32).
+
+    x: (S, N, icp) patchified input; w: (oc, icp) flattened kernel.
+    """
+    x = x.astype(jnp.float32)
+    raw_out = raw_out.astype(jnp.float32)
+    if raw_grad is not None:
+        raw_grad = raw_grad.astype(jnp.float32)
+    S, N, icp = x.shape
+    oc = w.shape[0]
+    n_V, n_H = policy.n_V, policy.n_H
+    w_qmax = fq.qmax_for_bit(policy.w_bit)
+    a_qmax = fq.qmax_for_bit(policy.a_bit)
+    quant_act = policy.a_bit < 32
+    if raw_grad is None:
+        raw_grad = jnp.zeros((1, 1, 1), jnp.float32)
+
+    # interval init (conv.py:246-251)
+    if policy.init_layerwise:
+        w_int0 = jnp.broadcast_to(fq.minmax_interval(w, w_qmax)
+                                  .reshape(1, 1, 1, 1), (n_V, 1, n_H, 1))
+    else:
+        w_int0 = fq.blocked_weight_interval_init(w, n_V, n_H, w_qmax)
+    a_int0 = fq.exact_div(jnp.max(jnp.abs(x)), a_qmax - 0.5)
+
+    grid = fq.candidate_grid(policy.eq_alpha, policy.eq_beta, policy.eq_n)
+    eq_n = policy.eq_n
+    w_cands = grid[:eq_n, None, None, None, None] * w_int0[None]
+    a_cands = grid[:eq_n] * a_int0
+    w_cands_c = _pad_chunk_candidates(w_cands, P)          # nc,P,n_V,1,n_H,1
+    a_cands_c = _pad_chunk_candidates(a_cands, P)
+
+    xb = _chunk_batch(x, bs)
+    rb = _chunk_batch(raw_out, bs)
+    gb = (_chunk_batch(raw_grad, bs) if policy.metric == "hessian"
+          else jnp.zeros((xb.shape[0], 1, 1, 1), jnp.float32))
+    w4 = fq.blocked_weight_view(w, n_V, n_H)
+
+    def mask_vh(v, h):
+        return ((jax.lax.broadcasted_iota(jnp.int32, (n_V, 1, n_H, 1), 0) == v)
+                & (jax.lax.broadcasted_iota(jnp.int32, (n_V, 1, n_H, 1), 2)
+                   == h))
+
+    def chan_sims(out, r_s, g_s):
+        """(bs,N,P,oc) -> (P,): channel-axis metric, mean over tokens,
+        summed over the batch (mean in the reference — argmax-equivalent)."""
+        raw = r_s[:, :, None]
+        if policy.metric == "cosine":
+            sim = cosine_similarity(raw, out, axis=-1)     # bs,N,P
+        else:
+            gc = (g_s[:, :, None] if policy.metric == "hessian" else None)
+            sim = _feature_similarity(raw, out, policy.metric, gc, axis=-1)
+        return jnp.sum(jnp.mean(sim, axis=1), axis=0)      # P
+
+    def score_w(w_int, a_int, v, h):
+        m = mask_vh(v, h)
+
+        def cand_body(_, wc):                              # wc: P,n_V,1,n_H,1
+            cur = jnp.where(m, wc, w_int[None])
+            w_sim = (fq.int_quant(w4[None], cur, w_qmax)
+                     * cur).reshape(P, oc, icp)
+
+            def batch_body(acc, inp):
+                x_s, r_s, g_s = inp
+                if quant_act:
+                    x_s = fq.fake_quant(x_s, a_int, a_qmax)
+                out = jnp.einsum("bti,poi->btpo", x_s, w_sim,
+                                 preferred_element_type=jnp.float32)
+                if b is not None:
+                    out = out + b
+                return acc + chan_sims(out, r_s, g_s), None
+
+            s, _ = jax.lax.scan(batch_body, jnp.zeros((P,)), (xb, rb, gb))
+            return None, s
+
+        _, sims = jax.lax.scan(cand_body, None, w_cands_c)
+        return sims.reshape(-1)[:eq_n]
+
+    def score_a(w_int):
+        w_sim = fq.fake_quant_weight_blocked(w, w_int, w_qmax)
+
+        def cand_body(_, ac):                              # (P,)
+            def batch_body(acc, inp):
+                x_s, r_s, g_s = inp
+                x_sim = (jnp.clip(jnp.round(
+                    x_s[:, :, None] / ac[None, None, :, None]),
+                    -a_qmax, a_qmax - 1) * ac[None, None, :, None])
+                out = jnp.einsum("btpi,oi->btpo", x_sim, w_sim,
+                                 preferred_element_type=jnp.float32)
+                if b is not None:
+                    out = out + b
+                return acc + chan_sims(out, r_s, g_s), None
+
+            s, _ = jax.lax.scan(batch_body, jnp.zeros((P,)), (xb, rb, gb))
+            return None, s
+
+        _, sims = jax.lax.scan(cand_body, None, a_cands_c)
+        return sims.reshape(-1)[:eq_n]
+
+    def round_body(_, carry):
+        w_int, a_int = carry
+
+        def vh_body(idx, w_int):
+            v, h = idx // n_H, idx % n_H
+            best = jnp.argmax(score_w(w_int, a_int, v, h))
+            return jnp.where(mask_vh(v, h), w_cands[best], w_int)
+
+        w_int = jax.lax.fori_loop(0, n_V * n_H, vh_body, w_int)
+        if quant_act:
+            a_int = a_cands[jnp.argmax(score_a(w_int))]
+        return w_int, a_int
+
+    return jax.lax.fori_loop(0, policy.search_round, round_body,
+                             (w_int0, a_int0))
+
+
 def chunked_quantile(x: np.ndarray, q: float) -> float:
     """Quantile with the reference's >=2^24-element chunking: the mean of
     per-chunk quantiles (QuantileQuantConv2d._quantile, conv.py:111-116)."""
@@ -782,8 +1098,16 @@ def search_conv(w, b, cap, policy: OpPolicy,
     oc = w.shape[0]
     wm = jnp.asarray(w).reshape(oc, -1)
     S, N, _ = x.shape
-    channelwise = policy.quantizer == "conv_channelwise"
     P, bs = plan_chunks(policy.eq_n, S, N * oc, budget)
+    if policy.quantizer == "conv_ptqsl":
+        # n_V x n_H sub-layerwise weight grid (PTQSLQuantConv2d)
+        w_int, a_int = _conv_ptqsl_search_jit(
+            wm, None if b is None else jnp.asarray(b),
+            x, raw_out, grad, policy, P, bs)
+        return ConvQP(w_interval=w_int,
+                      a_interval=(a_int if policy.a_bit < 32 else None),
+                      w_bit=policy.w_bit, a_bit=policy.a_bit, blocked=True)
+    channelwise = policy.quantizer == "conv_channelwise"
     w_int, a_int = _conv_search_jit(
         wm, None if b is None else jnp.asarray(b),
         x, raw_out, grad, policy, P, bs,

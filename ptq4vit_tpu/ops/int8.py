@@ -75,12 +75,28 @@ def linear_int8(x, w, b, qp: LinearQP, w_int=None):
     return y + b if b is not None else y
 
 
+def _blocked_operand_qp(qp: MatMulQP) -> bool:
+    """True when an operand carries n_V/n_H (or sub-head n_G) block grids —
+    scales then don't factor out of the contraction."""
+    def blocked(iv):
+        return (hasattr(iv, "ndim") and iv.ndim == 7
+                and (iv.shape[3] != 1 or iv.shape[5] != 1))
+    return blocked(qp.A_interval) or blocked(qp.B_interval)
+
+
 def matmul_int8(a, b, qp: MatMulQP):
     """int8 execution of a calibrated A@B (head-wise scales)."""
     lead = a.shape[:-3]
     a4 = a.reshape((-1,) + a.shape[-3:])
     b4 = b.reshape((-1,) + b.shape[-3:])
     G = a4.shape[1]
+    if _blocked_operand_qp(qp):
+        # block-grid scales: execute the fake-quant semantics directly
+        # (ablation surface only — no shipped config uses operand blocks)
+        a_sim = qp.quant_A(a4)
+        b_sim = qp.quant_B(b4)
+        out = jnp.matmul(a_sim, b_sim, preferred_element_type=jnp.float32)
+        return out.reshape(lead + out.shape[-3:])
     B_scale = qp.B_interval.reshape(G)
     b_int = jnp.clip(jnp.round(b4 / B_scale[None, :, None, None]),
                      -qp.B_qmax, qp.B_qmax - 1).astype(jnp.int8)
@@ -114,6 +130,15 @@ def conv_int8(xp, w, b, qp: ConvQP, patch: int):
     """int8 patch-embed conv on pre-patchified input (B, N, ic*p*p)."""
     oc = w.shape[0]
     wm = w.reshape(oc, -1)
+    if qp.blocked:
+        # n_V x n_H PTQSL grid: column-block scales don't factor out of the
+        # contraction; execute the fake-quant semantics directly (ablation
+        # surface only — no shipped config produces blocked convs)
+        w_sim = fq.fake_quant_weight_blocked(wm, qp.w_interval, qp.w_qmax)
+        x_sim = (xp if (qp.a_bit >= 32 or qp.a_interval is None)
+                 else fq.fake_quant(xp, qp.a_interval, qp.a_qmax))
+        y = jnp.matmul(x_sim, w_sim.T, preferred_element_type=jnp.float32)
+        return y + b if b is not None else y
     w_scale = jnp.broadcast_to(qp.w_interval.reshape(-1, 1, 1, 1)[:, 0, 0, 0]
                                if qp.w_interval.ndim else qp.w_interval,
                                (oc,))

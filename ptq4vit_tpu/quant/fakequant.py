@@ -17,8 +17,24 @@ Numerics notes (parity with the reference):
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def exact_div(x, c):
+    """Division with IEEE true-division semantics even when ``c`` is a
+    compile-time constant.
+
+    XLA rewrites ``x / const`` into ``x * (1/const)`` during algebraic
+    simplification; the reciprocal is 1 ulp off for divisors like
+    ``qmax - 0.5``, which flips ``round()`` at quantization boundaries and
+    diverges from the reference's (and eager JAX's) true division.  An
+    optimization barrier on the divisor keeps the real divide.  Used for
+    every division whose divisor can be a literal inside a jitted engine
+    (interval inits, SoS rescales, the fixed post-GELU negative interval).
+    """
+    return x / jax.lax.optimization_barrier(jnp.asarray(c, jnp.float32))
 
 # |min GELU(x)| quantization anchor for the fixed negative interval of the
 # twin-uniform post-GELU quantizer (reference linear.py:320, linear.py:574).
@@ -71,7 +87,7 @@ def fake_quant(x, interval, qmax: int):
 
 def minmax_interval(x, qmax: int):
     """Layerwise min-max scale init: absmax/(qmax-0.5) (reference linear.py:88)."""
-    return jnp.max(jnp.abs(x)) / (qmax - 0.5)
+    return exact_div(jnp.max(jnp.abs(x)), qmax - 0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -98,7 +114,8 @@ def blocked_weight_interval_init(w, n_V: int, n_H: int, qmax: int):
     """Blockwise absmax/(qmax-0.5) init, shape (n_V,1,n_H,1) (reference
     linear.py:232)."""
     w4 = blocked_weight_view(w, n_V, n_H)
-    return jnp.amax(jnp.abs(w4), axis=(1, 3), keepdims=True) / (qmax - 0.5)
+    return exact_div(jnp.amax(jnp.abs(w4), axis=(1, 3), keepdims=True),
+                     qmax - 0.5)
 
 
 def grouped_act_view(x, n_a: int):
@@ -121,7 +138,7 @@ def grouped_act_interval_init(x, n_a: int, qmax: int, signed: bool = True):
     xg = grouped_act_view(x, n_a)
     v = jnp.abs(xg) if signed else xg
     axes = tuple(range(xg.ndim - 2)) + (xg.ndim - 1,)
-    return (jnp.amax(v, axis=axes) / (qmax - 0.5))[:, None]
+    return exact_div(jnp.amax(v, axis=axes), qmax - 0.5)[:, None]
 
 
 # ---------------------------------------------------------------------------
@@ -138,7 +155,10 @@ def twin_quant_post_gelu(x, pos_interval, neg_interval, qmax: int):
     n_a = pos_interval.shape[0]
     xg = grouped_act_view(x, n_a)
     x_pos = jnp.clip(jnp.round(xg / pos_interval), 0, qmax - 1) * pos_interval
-    x_neg = jnp.clip(jnp.round(xg / neg_interval), -qmax, 0) * neg_interval
+    # neg_interval is a python-float-derived literal: exact_div keeps the
+    # true division the reference computes
+    x_neg = jnp.clip(jnp.round(exact_div(xg, neg_interval)), -qmax, 0) \
+        * neg_interval
     return (x_pos + x_neg).reshape(x.shape)
 
 
@@ -152,9 +172,13 @@ def sos_quant_softmax(x, split, qmax: int):
     Reproduces the reference formula verbatim, including its additive overlap
     of the two ranges (reference matmul.py:595-598).
     """
-    a_interval = split / (qmax - 1)
-    x_high = jnp.clip(jnp.round(jnp.clip(x, split, 1.0) * (qmax - 1)), 0, qmax - 1) / (qmax - 1)
-    x_low = jnp.clip(jnp.round(jnp.clip(x, 0.0, split) / a_interval), 0, qmax - 1) * a_interval
+    a_interval = exact_div(split, qmax - 1)
+    x_high = exact_div(jnp.clip(jnp.round(jnp.clip(x, split, 1.0)
+                                          * (qmax - 1)), 0, qmax - 1),
+                       qmax - 1)
+    x_low = jnp.clip(jnp.round(exact_div(jnp.clip(x, 0.0, split),
+                                         a_interval)),
+                     0, qmax - 1) * a_interval
     return x_high + x_low
 
 
@@ -195,4 +219,5 @@ def matmul_operand_interval_init(x, n_G: int, n_V: int, n_H: int, qmax: int):
     xp = jnp.pad(x, ((0, 0), (0, pad_g), (0, pad_r), (0, pad_c)))
     xb = xp.reshape(B, n_G, crb_g, n_V, crb_r, n_H, crb_c)
     # amax over (batch, crb_g, crb_r, crb_c) -> (1, n_G, 1, n_V, 1, n_H, 1)
-    return jnp.amax(jnp.abs(xb), axis=(0, 2, 4, 6), keepdims=True) / (qmax - 0.5)
+    return exact_div(jnp.amax(jnp.abs(xb), axis=(0, 2, 4, 6), keepdims=True),
+                     qmax - 0.5)

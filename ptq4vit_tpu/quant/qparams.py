@@ -119,12 +119,15 @@ class ConvQP:
     ``w_interval`` is (oc, 1, 1, 1) for the channelwise variant or a scalar
     for the layerwise one; ``a_interval`` is None when a_bit >= 32
     (activation quantization off — the shipped configs, configs/PTQ4ViT.py:54).
+    With ``blocked=True`` (PTQSLQuantConv2d, conv.py:126-277) ``w_interval``
+    is (n_V, 1, n_H, 1) over the flattened (oc, ic*kh*kw) weight.
     """
 
     w_interval: Any
     a_interval: Optional[Any] = None
     w_bit: int = struct.field(pytree_node=False, default=8)
     a_bit: int = struct.field(pytree_node=False, default=32)
+    blocked: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def w_qmax(self) -> int:
@@ -135,6 +138,13 @@ class ConvQP:
         return fq.qmax_for_bit(self.a_bit)
 
     def quant_weight(self, w):
+        if self.blocked:
+            # n_V x n_H sub-layerwise grid on the flattened weight
+            # (reference quant_weight_bias, conv.py:183-189)
+            oc = w.shape[0]
+            wm = fq.fake_quant_weight_blocked(
+                w.reshape(oc, -1), self.w_interval, self.w_qmax)
+            return wm.reshape(w.shape)
         # w: (oc, ic, kh, kw); interval broadcasts (channelwise or scalar)
         return fq.fake_quant(w, self.w_interval, self.w_qmax)
 

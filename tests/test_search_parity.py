@@ -6,6 +6,7 @@ twin-uniform and SoS quantizers).
 Oracles are unchunked (chunking does not change the math) and written
 directly from the documented semantics in SURVEY.md §2.1.
 """
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import torch
@@ -387,6 +388,257 @@ def test_conv_search_parity_quant_act(rng, channelwise, metric):
     np.testing.assert_allclose(np.asarray(qp.w_interval).reshape(-1),
                                ref_w.reshape(-1), rtol=1e-6)
     np.testing.assert_allclose(float(qp.a_interval), float(ref_a), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# blocked-operand matmul oracle (n_G x n_V x n_H grids with ceil-div padding,
+# reference matmul.py:109-138, :483-563)
+# ---------------------------------------------------------------------------
+
+def _pad_params(shape, nG, nV, nH):
+    _, G_, R_, C_ = shape
+    crg, crr, crc = -(-G_ // nG), -(-R_ // nV), -(-C_ // nH)
+    return crg, crr, crc, crg * nG - G_, crr * nV - R_, crc * nH - C_
+
+
+def oracle_matmul_blocked(A, B, raw_out, grad, pol, n_G_A, n_G_B, sos=False):
+    import torch.nn.functional as F
+    A, B, raw_out = T(A), T(B), T(raw_out)
+    grad = None if grad is None else T(grad)
+    S_, G, R, Ci = A.shape
+    Co = B.shape[-1]
+    Aq, Bq = 2 ** (pol.a_bit - 1), 2 ** (pol.b_bit - 1)
+    nVA, nHA = (1, 1) if sos else (pol.n_V_A, pol.n_H_A)
+    nVB, nHB = pol.n_V_B, pol.n_H_B
+    g = grid_t(pol)
+
+    def blocked(x, nG, nV, nH):
+        crg, crr, crc, pg, pr, pc = _pad_params(x.shape, nG, nV, nH)
+        xp = F.pad(x, [0, pc, 0, pr, 0, pg])
+        return xp.view(-1, nG, crg, nV, crr, nH, crc)
+
+    def init_int(x, q, nG, nV, nH):
+        # (B,nG,crg,nV,crr,nH,crc) -> (1,nG,1,nV,1,nH,1)
+        return blocked(x, nG, nV, nH).abs() \
+            .amax([0, 2, 4, 6], keepdim=True) / (q - 0.5)
+
+    def quant_op(x, interval, q, nG, nV, nH):
+        crg, crr, crc, pg, pr, pc = _pad_params(x.shape, nG, nV, nH)
+        xb = blocked(x, nG, nV, nH)
+        xq = (xb / interval).round().clamp(-q, q - 1) * interval
+        xq = xq.reshape(-1, nG * crg, nV * crr, nH * crc)
+        return xq[:, :x.shape[1], :x.shape[2], :x.shape[3]]
+
+    A_int0 = None if sos else init_int(A, Aq, n_G_A, nVA, nHA)
+    B_int0 = init_int(B, Bq, n_G_B, nVB, nHB)
+    A_c = None if sos else [g[i] * A_int0 for i in range(pol.eq_n)]
+    B_c = [g[i] * B_int0 for i in range(pol.eq_n)]
+    splits = torch.tensor([2.0 ** (-i) for i in range(20)])
+
+    def qA_state(a, st):
+        if sos:
+            ai = st / (Aq - 1)
+            hi = (a.clamp(st, 1) * (Aq - 1)).round().clamp(0, Aq - 1) / (Aq - 1)
+            lo = (a.clamp(0, st) / ai).round().clamp(0, Aq - 1) * ai
+            return hi + lo
+        return quant_op(a, st, Aq, n_G_A, nVA, nHA)
+
+    def search_op(opA, cur, other_sim):
+        nG = n_G_A if opA else n_G_B
+        nV, nH = (nVA, nHA) if opA else (nVB, nHB)
+        q = Aq if opA else Bq
+        cands = A_c if opA else B_c
+        crg = -(-G // nG)
+        cur = cur.clone()
+        for v in range(nV):
+            for h in range(nH):
+                sims = []
+                for i in range(pol.eq_n):
+                    c = cur.clone()
+                    c[:, :, :, v:v + 1, :, h:h + 1, :] = \
+                        cands[i][:, :, :, v:v + 1, :, h:h + 1, :]
+                    if opA:
+                        out = quant_op(A, c, q, nG, nV, nH) @ other_sim
+                    else:
+                        out = other_sim @ quant_op(B, c, q, nG, nV, nH)
+                    s = tsim(raw_out, out, pol.metric, grad)   # S,G,R
+                    s = s.mean(2).sum(0)                       # G
+                    s = F.pad(s, [0, nG * crg - G]) \
+                        .view(nG, crg).mean(-1)                # nG (zero pad!)
+                    sims.append(s)
+                best = torch.stack(sims).argmax(0)             # nG
+                for gi in range(nG):
+                    cur[:, gi, :, v, :, h, :] = \
+                        cands[best[gi]][:, gi, :, v, :, h, :]
+        return cur
+
+    a_state = torch.tensor(0.01) if sos else A_int0.clone()
+    B_int = B_int0.clone()
+    for _ in range(pol.search_round):
+        if sos:
+            sims = []
+            for sp in splits:
+                out = qA_state(A, sp) @ B                      # B raw
+                s = tsim(raw_out, out, pol.metric, grad)
+                sims.append(s.mean([1, 2]).sum(0))
+            a_state = splits[int(torch.stack(sims).argmax())]
+        else:
+            B_sim = quant_op(B, B_int, Bq, n_G_B, nVB, nHB)
+            a_state = search_op(True, a_state, B_sim)
+        A_sim = qA_state(A, a_state)
+        B_int = search_op(False, B_int, A_sim)
+    return (a_state.numpy(), B_int.numpy())
+
+
+@pytest.mark.parametrize("metric", ["L2_norm", "hessian"])
+def test_matmul_blocked_search_parity(rng, metric):
+    """n_V/n_H operand grids with ceil-div padding (previously rejected with
+    NotImplementedError).  R=7, Ci=5 force row/col padding."""
+    pol = _mpol(metric=metric, n_V_A=2, n_H_A=2, n_V_B=2, n_H_B=2)
+    S_, G, R, Ci, Co = 4, 3, 7, 5, 6
+    A = rng.standard_normal((S_, G, R, Ci)).astype(np.float32)
+    B = rng.standard_normal((S_, G, Ci, Co)).astype(np.float32)
+    raw_out = np.einsum("sgrc,sgco->sgro", A, B).astype(np.float32)
+    grad = rng.standard_normal(raw_out.shape).astype(np.float32)
+    cap = OpCapture(kind="matmul", inputs={"a": A, "b": B}, out=raw_out,
+                    grad=grad)
+    qp = S.search_matmul(cap, pol)
+    ref_A, ref_B = oracle_matmul_blocked(
+        A, B, raw_out, grad if metric == "hessian" else None, pol, G, G)
+    np.testing.assert_allclose(np.asarray(qp.A_interval).reshape(-1),
+                               ref_A.reshape(-1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(qp.B_interval).reshape(-1),
+                               ref_B.reshape(-1), rtol=1e-6)
+
+
+def test_matmul_blocked_group_pad_parity(rng):
+    """Explicit n_G < G exercises the group-axis ZERO-padding of the
+    similarity reduction (matmul.py:519)."""
+    pol = _mpol(metric="L2_norm", n_G_A=2, n_G_B=2, n_V_A=2, n_H_B=2)
+    S_, G, R, Ci, Co = 4, 3, 6, 4, 6
+    A = rng.standard_normal((S_, G, R, Ci)).astype(np.float32)
+    B = rng.standard_normal((S_, G, Ci, Co)).astype(np.float32)
+    raw_out = np.einsum("sgrc,sgco->sgro", A, B).astype(np.float32)
+    cap = OpCapture(kind="matmul", inputs={"a": A, "b": B}, out=raw_out,
+                    grad=None)
+    qp = S.search_matmul(cap, pol)
+    ref_A, ref_B = oracle_matmul_blocked(A, B, raw_out, None, pol, 2, 2)
+    np.testing.assert_allclose(np.asarray(qp.A_interval).reshape(-1),
+                               ref_A.reshape(-1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(qp.B_interval).reshape(-1),
+                               ref_B.reshape(-1), rtol=1e-6)
+
+
+def test_sos_matmul_blocked_B_parity(rng):
+    """SoS split search with a blocked B operand (matmul.py:636-642)."""
+    pol = _mpol(quantizer="sos_matmul", a_bit=8, b_bit=8, n_V_B=2, n_H_B=2,
+                search_round=2)
+    S_, G, R, Co = 4, 2, 6, 5
+    logits = rng.standard_normal((S_, G, R, R)).astype(np.float32) * 3
+    A = torch.softmax(torch.from_numpy(logits), -1).numpy()
+    B = rng.standard_normal((S_, G, R, Co)).astype(np.float32)
+    raw_out = np.einsum("sgrc,sgco->sgro", A, B).astype(np.float32)
+    grad = rng.standard_normal(raw_out.shape).astype(np.float32)
+    cap = OpCapture(kind="matmul", inputs={"a": A, "b": B}, out=raw_out,
+                    grad=grad)
+    qp = S.search_matmul(cap, pol)
+    ref_split, ref_B = oracle_matmul_blocked(A, B, raw_out, grad, pol, G, G,
+                                             sos=True)
+    np.testing.assert_allclose(float(qp.split), float(ref_split), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(qp.B_interval).reshape(-1),
+                               ref_B.reshape(-1), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# PTQSL conv oracle (n_V x n_H weight grid, scalar per-position argmax,
+# reference conv.py:126-277)
+# ---------------------------------------------------------------------------
+
+def oracle_conv_ptqsl(wm, b, x, raw_out, grad, pol):
+    wm, x, raw_out = T(wm), T(x), T(raw_out)
+    b = None if b is None else T(b)
+    grad = None if grad is None else T(grad)
+    oc, icp = wm.shape
+    n_V, n_H = pol.n_V, pol.n_H
+    wq, aq = 2 ** (pol.w_bit - 1), 2 ** (pol.a_bit - 1)
+    quant_act = pol.a_bit < 32
+    g = grid_t(pol)
+    w4 = wm.view(n_V, oc // n_V, n_H, icp // n_H)
+    w_int = w4.abs().amax([1, 3], keepdim=True) / (wq - 0.5)
+    a_int = x.abs().max() / (aq - 0.5) if quant_act else None
+    w_c = [g[i] * w_int for i in range(pol.eq_n)]
+    a_c = [g[i] * a_int for i in range(pol.eq_n)] if quant_act else None
+
+    def qx(xx, ai):
+        return (xx / ai).round().clamp(-aq, aq - 1) * ai
+
+    def chan_sim(out):
+        s = tsim(raw_out, out, pol.metric, grad)               # S,N
+        return s.mean(1).sum(0)                                # scalar
+
+    for _ in range(pol.search_round):
+        for v in range(n_V):
+            for h in range(n_H):
+                xin = qx(x, a_int) if quant_act else x
+                sims = []
+                for i in range(pol.eq_n):
+                    cur = w_int.clone()
+                    cur[v:v + 1, :, h:h + 1, :] = \
+                        w_c[i][v:v + 1, :, h:h + 1, :]
+                    w_sim = ((w4 / cur).round().clamp(-wq, wq - 1) * cur) \
+                        .view(oc, icp)
+                    out = xin @ w_sim.t()
+                    if b is not None:
+                        out = out + b
+                    sims.append(chan_sim(out))                 # SCALAR argmax
+                best = int(torch.stack(sims).argmax())
+                w_int[v:v + 1, :, h:h + 1, :] = \
+                    w_c[best][v:v + 1, :, h:h + 1, :]
+        if quant_act:
+            w_sim = ((w4 / w_int).round().clamp(-wq, wq - 1) * w_int) \
+                .view(oc, icp)
+            sims = []
+            for i in range(pol.eq_n):
+                out = qx(x, a_c[i]) @ w_sim.t()
+                if b is not None:
+                    out = out + b
+                sims.append(chan_sim(out))
+            a_int = a_c[int(torch.stack(sims).argmax())]
+    return np.asarray(w_int), (None if a_int is None else np.asarray(a_int))
+
+
+@pytest.mark.parametrize("metric,a_bit", [("hessian", 8), ("cosine", 32),
+                                          ("L2_norm", 8)])
+def test_conv_ptqsl_search_parity(rng, metric, a_bit):
+    """Sub-layerwise n_V x n_H conv weight grid (previously only
+    channelwise/layerwise were implemented)."""
+    pol = OpPolicy(quantizer="conv_ptqsl", metric=metric, eq_alpha=0.2,
+                   eq_beta=1.2, eq_n=8, search_round=2, w_bit=8, a_bit=a_bit,
+                   n_V=3, n_H=2)
+    S_, N, ic, p, oc = 4, 9, 3, 2, 6
+    w = rng.standard_normal((oc, ic, p, p)).astype(np.float32)
+    b = rng.standard_normal((oc,)).astype(np.float32)
+    x = rng.standard_normal((S_, N, ic * p * p)).astype(np.float32)
+    raw_out = (x @ w.reshape(oc, -1).T + b).astype(np.float32)
+    grad = rng.standard_normal(raw_out.shape).astype(np.float32)
+    cap = OpCapture(kind="conv", inputs={"x": x}, out=raw_out, grad=grad)
+    qp = S.search_conv(w, b, cap, pol)
+    ref_w, ref_a = oracle_conv_ptqsl(
+        w.reshape(oc, -1), b, x, raw_out,
+        grad if metric == "hessian" else None, pol)
+    assert qp.blocked
+    np.testing.assert_allclose(np.asarray(qp.w_interval), ref_w, rtol=1e-6)
+    if a_bit < 32:
+        np.testing.assert_allclose(float(qp.a_interval), float(ref_a),
+                                   rtol=1e-6)
+    else:
+        assert qp.a_interval is None
+    # blocked quant_forward applies the grid on the flattened weight
+    wq = np.asarray(qp.quant_weight(jnp.asarray(w)))
+    w4 = torch.from_numpy(w.reshape(pol.n_V, oc // pol.n_V, pol.n_H, -1))
+    wref = ((w4 / torch.from_numpy(ref_w)).round().clamp(-128, 127)
+            * torch.from_numpy(ref_w)).view(oc, ic, p, p).numpy()
+    np.testing.assert_allclose(wq, wref, rtol=1e-6)
 
 
 def test_matmul_search_recompute_raw_out_equivalent(rng):
