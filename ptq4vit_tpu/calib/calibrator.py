@@ -121,7 +121,14 @@ class HessianQuantCalibrator:
                  wrapped_modules: Optional[Dict[str, str]] = None,
                  device_resident: bool = True,
                  cache_dtype=None,
-                 profile_dir: Optional[str] = None):
+                 profile_dir: Optional[str] = None,
+                 mesh=None):
+        # mesh: optional jax.sharding.Mesh with a "data" axis — capture
+        # micro-batches and the device-resident caches shard over it, so
+        # the whole calibration (capture fwd+bwd AND the candidate-search
+        # einsums) runs data-parallel; similarity sums become XLA psums
+        # (the reduction at reference linear.py:487-492)
+        self.mesh = mesh
         self.net = net
         self.cfg = quant_cfg
         self.calib_x = np.asarray(calib_x, np.float32)
@@ -226,7 +233,8 @@ class HessianQuantCalibrator:
                 raw = capture(net, self.calib_x, batch_size=self.batch_size,
                               need_grad=need_grad, probe_seed=self.probe_seed,
                               probe_sigma=self.probe_sigma, ops=[name],
-                              qstate=dict(qstate), target_probs=target)
+                              qstate=dict(qstate), target_probs=target,
+                              mesh=self.mesh)
                 self.report.capture_seconds += time.time() - t0
                 t0 = time.time()
                 qp = self._search_one(name, mtype, policies[name], raw[name])
@@ -243,6 +251,11 @@ class HessianQuantCalibrator:
             from .capture import probe_target
             num = len(self.calib_x)
             nb = next(b for b in range(min(8, num), 0, -1) if num % b == 0)
+            params = net.params
+            if self.mesh is not None:
+                dp = self.mesh.shape["data"]
+                nb = next((b for b in range(min(max(8, dp), num), 0, -1)
+                           if num % b == 0 and b % dp == 0), nb)
 
             @jax.jit
             def all_logits(p, xs):
@@ -253,7 +266,13 @@ class HessianQuantCalibrator:
 
             xs = jnp.asarray(self.calib_x).reshape(
                 (num // nb, nb) + self.calib_x.shape[1:])
-            raw_logits = np.asarray(all_logits(net.params, xs))
+            if self.mesh is not None and nb % self.mesh.shape["data"] == 0:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                xs = jax.device_put(
+                    xs, NamedSharding(self.mesh, P(None, "data")))
+                params = jax.device_put(
+                    params, NamedSharding(self.mesh, P()))
+            raw_logits = np.asarray(all_logits(params, xs))
             target = probe_target(raw_logits, self.probe_seed,
                                   self.probe_sigma)
         self.report.target_seconds = time.time() - t_setup
@@ -285,7 +304,7 @@ class HessianQuantCalibrator:
                           to_host=not self.device_resident,
                           store_matmul_out=not self.device_resident,
                           cache_dtype=self.cache_dtype,
-                          target_probs=target)
+                          target_probs=target, mesh=self.mesh)
             self.report.capture_seconds += time.time() - t0
             for name in group:
                 mtype = mtypes[name]
@@ -307,14 +326,24 @@ class HessianQuantCalibrator:
             self.report.sync_seconds += time.time() - t0
         return qstate
 
+    def _replicated(self, x):
+        """Params fed to a search alongside mesh-sharded caches must be
+        mesh-resident too (single-device-committed arrays can't mix)."""
+        if x is None or self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(jnp.asarray(x), NamedSharding(self.mesh, P()))
+
     def _search_one(self, name: str, mtype: str, policy, cap):
         if mtype == "qconv":
             w, b = _params_for_op(self.net.params, name)
-            return S.search_conv(w, b, cap, policy, self.search_budget)
+            return S.search_conv(self._replicated(w), self._replicated(b),
+                                 cap, policy, self.search_budget)
         if "qmatmul" in mtype:
             return S.search_matmul(cap, policy, self.search_budget)
         w, b = _params_for_op(self.net.params, name)
-        return S.search_linear(w, b, cap, policy, self.search_budget)
+        return S.search_linear(self._replicated(w), self._replicated(b),
+                               cap, policy, self.search_budget)
 
 
 # convenience alias matching the reference's base class name

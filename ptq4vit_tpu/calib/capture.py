@@ -69,7 +69,8 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
             target_probs: Optional[np.ndarray] = None,
             to_host: bool = True,
             store_matmul_out: bool = True,
-            cache_dtype=None) -> Dict[str, OpCapture]:
+            cache_dtype=None,
+            mesh=None) -> Dict[str, OpCapture]:
     """Run the capture pass over the calibration set.
 
     net: models.registry.Net;  calib_x: (num, 3, H, W) float32 host array.
@@ -96,6 +97,12 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
        HBM footprint and the op-group count; searches upcast to fp32 —
        scale selection may shift by the bf16 rounding of the raw data, so
        the parity default is float32/None).
+    mesh: optional ``jax.sharding.Mesh`` with a "data" axis.  Each
+       micro-batch is sharded over "data" (samples are independent, so the
+       per-sample caches are bit-identical to single-device capture) and
+       the returned caches stay sharded on the sample axis — downstream
+       searches then run data-parallel with XLA-inserted psums for the
+       similarity sums (the reduction of reference linear.py:487-492).
 
     Returns {op name: OpCapture} whose leading axis is the
     calibration-sample axis (for Swin matmuls: samples × windows, matching
@@ -106,6 +113,17 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
     if num % batch_size != 0:
         batch_size = next(b for b in range(min(batch_size, num), 0, -1)
                           if num % b == 0)
+    if mesh is not None:
+        dp = mesh.shape["data"]
+        if batch_size % dp != 0 or num % batch_size != 0:
+            # micro-batches shard evenly over "data"; grad scale changes
+            # with batch_size are uniform (KL batchmean /B), argmax-safe
+            batch_size = next(
+                (b for b in range(min(max(batch_size, dp), num), 0, -1)
+                 if num % b == 0 and b % dp == 0), None)
+            if batch_size is None:
+                raise ValueError(
+                    f"calib size {num} not shardable over data={dp}")
     names = [n for n, _ in net.op_inventory]
     if ops is not None:
         names = [n for n in names if n in set(ops)]
@@ -172,8 +190,7 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
     # (n_micro, bs, ...) and are flattened in the same program.  A single
     # dispatch/compile per capture pass — per-op concatenates would cost
     # hundreds of tiny dispatches on a high-latency (tunneled) device.
-    @jax.jit
-    def capture_all(p, x_all, t_all):
+    def capture_all_fn(p, x_all, t_all):
         def body(_, inp):
             xb, tb = inp
             return None, step(p, xb, tb)
@@ -186,6 +203,18 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
     t_all = (jnp.asarray(target_all).reshape(
         num // batch_size, batch_size, -1) if need_grad
         else jnp.zeros((num // batch_size, batch_size, 1), jnp.float32))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
+        x_all = jax.device_put(x_all, NamedSharding(mesh, P(None, "data")))
+        t_all = jax.device_put(t_all, NamedSharding(mesh, P(None, "data")))
+        params = jax.device_put(params, rep)
+        if qstate:
+            qstate = jax.device_put(qstate, rep)
+        capture_all = jax.jit(capture_all_fn,
+                              out_shardings=NamedSharding(mesh, P("data")))
+    else:
+        capture_all = jax.jit(capture_all_fn)
     flat = capture_all(params, x_all, t_all)
     if to_host:
         flat = jax.device_get(flat)

@@ -63,6 +63,51 @@ def test_sharded_capture_matches_host(rng):
     np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-7)
 
 
+def test_mesh_calibration_matches_single_device(rng):
+    """Full batching_quant_calib over an 8-device data mesh produces the
+    same qstate as single-device calibration.  Tolerance: XLA tiles the
+    per-shard contractions differently, so captured activations (and hence
+    interval inits) can shift by ~1 ulp; a wrong argmax/psum would show up
+    as a full grid step (~12%), far above rtol."""
+    from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
+    from ptq4vit_tpu.configs import ptq4vit
+    from tests.test_calibrator import small_cfg
+    net = tiny_net()
+    calib = rng.standard_normal((8, 3, 32, 32)).astype(np.float32)
+    q_single = HessianQuantCalibrator(net, small_cfg(ptq4vit()), calib,
+                                      batch_size=8) \
+        .batching_quant_calib(verbose=False)
+    q_mesh = HessianQuantCalibrator(net, small_cfg(ptq4vit()), calib,
+                                    batch_size=8, mesh=make_mesh(8)) \
+        .batching_quant_calib(verbose=False)
+    assert set(q_single) == set(q_mesh)
+    for n in q_single:
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, err_msg=n),
+            q_single[n], q_mesh[n])
+
+
+def test_mesh_calibration_quantized_eval(rng):
+    """Mesh-calibrated qstate drives a mesh-sharded quantized eval."""
+    from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
+    from ptq4vit_tpu.configs import base_ptq
+    from tests.test_calibrator import small_cfg
+    net = tiny_net()
+    mesh = make_mesh(8)
+    calib = rng.standard_normal((8, 3, 32, 32)).astype(np.float32)
+    qstate = HessianQuantCalibrator(net, small_cfg(base_ptq()), calib,
+                                    batch_size=4, mesh=mesh) \
+        .batching_quant_calib(verbose=False)
+    x = rng.standard_normal((8, 3, 32, 32)).astype(np.float32)
+    y = rng.integers(0, 10, 8).astype(np.int64)
+    qhost = jax.device_get(qstate)
+    single = Evaluator(net, qstate=qhost).n_correct(jnp.asarray(x),
+                                                    jnp.asarray(y))
+    multi = Evaluator(net, qstate=qhost, mesh=mesh).n_correct(x, y)
+    assert single == multi
+
+
 def test_uint8_device_normalize_eval(rng):
     """uint8 inputs + on-device normalization match host-normalized eval."""
     from ptq4vit_tpu.models.registry import DataConfig
