@@ -13,7 +13,6 @@ Prints ONE JSON line:
 """
 import json
 import os
-import sys
 import time
 
 MODEL = os.environ.get("BENCH_MODEL", "vit_base_patch16_384")
@@ -66,15 +65,17 @@ def main():
     minutes = (time.time() - t0) / 60.0
     assert len(qstate) == len(net.op_inventory)
 
+    capture_s = calibrator.report.capture_seconds
+    search_s = sum(calibrator.report.search_seconds.values())
     print(json.dumps({
         "metric": f"ptq4vit_calib_minutes_{MODEL}_{CALIB}imgs",
         "value": round(minutes, 3),
         "unit": "min",
         "vs_baseline": round(BASELINE_MIN / minutes, 2),
+        "capture_s": round(capture_s, 1),
+        "search_s": round(search_s, 1),
+        "other_s": round(minutes * 60 - capture_s - search_s, 1),
     }))
-    print(f"# capture {calibrator.report.capture_seconds:.1f}s, "
-          f"search {sum(calibrator.report.search_seconds.values()):.1f}s "
-          f"({len(qstate)} ops)", file=sys.stderr)
 
 
 if __name__ == "__main__":

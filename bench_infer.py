@@ -39,6 +39,9 @@ def main():
         r.block_until_ready()
         return bs * iters / (time.time() - t0)
 
+    from ptq4vit_tpu.ops.pack import pack_weights
+    packed = jax.device_put(pack_weights(net.params, qstate))
+
     fp32 = timed(lambda p, xx: net.forward(p, xx, net.cfg))
     fake = timed(lambda p, xx: net.forward(p, xx, net.cfg, qstate=qstate))
     int8 = timed(lambda p, xx: net.forward(p, xx, net.cfg, qstate=qstate,
@@ -48,6 +51,12 @@ def main():
     int8_bf16 = timed(lambda p, xx: net.forward(
         p, xx, net.cfg, qstate=qstate, int8=True,
         compute_dtype=jnp.bfloat16))
+    packed_bf16 = timed(lambda p, xx: net.forward(
+        p, xx, net.cfg, qstate=qstate, int8=True, packed=packed,
+        compute_dtype=jnp.bfloat16))
+    fused_bf16 = timed(lambda p, xx: net.forward(
+        p, xx, net.cfg, qstate=qstate, int8="fused", packed=packed,
+        compute_dtype=jnp.bfloat16))
     print(json.dumps({
         "metric": f"infer_images_per_s_{model}_bs{bs}",
         "fp32": round(fp32, 1),
@@ -55,7 +64,9 @@ def main():
         "fake_quant": round(fake, 1),
         "int8": round(int8, 1),
         "int8_bf16": round(int8_bf16, 1),
-        "int8_bf16_vs_fp32": round(int8_bf16 / fp32, 2),
+        "int8_packed_bf16": round(packed_bf16, 1),
+        "int8_fused_bf16": round(fused_bf16, 1),
+        "int8_fused_vs_bf16": round(fused_bf16 / bf16, 2),
     }))
 
 

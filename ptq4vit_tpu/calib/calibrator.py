@@ -343,7 +343,8 @@ class HessianQuantCalibrator:
             return S.search_matmul(cap, policy, self.search_budget)
         w, b = _params_for_op(self.net.params, name)
         return S.search_linear(self._replicated(w), self._replicated(b),
-                               cap, policy, self.search_budget)
+                               cap, policy, self.search_budget,
+                               calib_bs=self.batch_size)
 
 
 # convenience alias matching the reference's base class name

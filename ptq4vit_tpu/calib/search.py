@@ -22,9 +22,12 @@ Parity notes:
     (reference off-by-one, linear.py:466) — reproduced;
   * per-batch similarities are summed, then argmax (first max wins on ties,
     matching torch.argmax), linear.py:487-492;
-  * pearson uses full-batch statistics (the reference's batch-chunk-local
-    means, linear.py:426-453, depend on its memory heuristic; unused by the
-    shipped configs).
+  * the linear pearson metric uses the reference's batch-chunk-local means
+    (linear.py:426-453): when the caller passes ``calib_bs`` (the
+    calibrator's batch size) and it divides the calib size, the batch scan
+    chunk is pinned to it so the per-chunk means match the reference's
+    ``calib_batch_size`` chunks exactly; otherwise the planner's chunk is
+    used (argmax-equivalent in practice, documented divergence).
 """
 from __future__ import annotations
 
@@ -351,8 +354,11 @@ def _pearson_a(raw, sim):
 
 
 def search_linear(w, b, cap, policy: OpPolicy,
-                  budget: int = DEFAULT_BUDGET) -> LinearQP:
-    """Calibrate a linear op from captured raw data (host or device)."""
+                  budget: int = DEFAULT_BUDGET,
+                  calib_bs: int = None) -> LinearQP:
+    """Calibrate a linear op from captured raw data (host or device).
+    ``calib_bs`` pins the batch scan chunk for the pearson metric (see
+    module docstring)."""
     x = jnp.asarray(cap.inputs["x"])
     raw_out = jnp.asarray(cap.out)
     S, ic = x.shape[0], x.shape[-1]
@@ -363,6 +369,11 @@ def search_linear(w, b, cap, policy: OpPolicy,
     grad = (jnp.asarray(cap.grad).reshape(S, T, oc)
             if policy.metric == "hessian" else None)
     P, bs = plan_chunks(policy.eq_n, S, T * oc, budget)
+    if policy.metric == "pearson" and calib_bs and S % calib_bs == 0:
+        # pearson means are chunk-local in the reference (linear.py:426-453,
+        # chunks of calib_batch_size): pin the scan chunk to reproduce them
+        bs = calib_bs
+        P = max(1, min(policy.eq_n, budget // max(bs * T * oc * 4, 1)))
     w_int, a_int = _linear_search_jit(
         jnp.asarray(w), None if b is None else jnp.asarray(b),
         x, raw_out, grad, policy, P, bs, use_pallas=_pallas_default())

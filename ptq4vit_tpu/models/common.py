@@ -34,13 +34,16 @@ class QuantCtx:
                  qstate: Optional[Dict[str, Any]] = None,
                  eps: Optional[Dict[str, Any]] = None,
                  capture: bool = False,
-                 int8: bool = False):
+                 int8: bool = False,
+                 packed: Optional[Dict[str, Any]] = None):
         self.qstate = qstate or {}
         self.eps = eps
         self.capture = capture
         # int8=True executes quantized ops as int8 MXU matmuls (exact
-        # realization of the fake-quant semantics; see ops/int8.py)
+        # realization of the fake-quant semantics; see ops/int8.py);
+        # packed = resident int8 weights from ops/pack.pack_weights
         self.int8 = int8
+        self.packed = packed or {}
         self.taps: Dict[str, Dict[str, Any]] = {}
 
     def _post(self, name, out, tap):
@@ -57,7 +60,14 @@ class QuantCtx:
         qp = self.qstate.get(name)
         if qp is not None and self.int8:
             from ..ops.int8 import linear_int8
-            out = linear_int8(x, w, b, qp)
+            pk = self.packed.get(name) or {}
+            out = None
+            if self.int8 == "fused":
+                from ..ops.int8_serve import fused_linear
+                out = fused_linear(x, w, b, qp, pk)
+            if out is None:
+                out = linear_int8(x, w, b, qp, w_intT=pk.get("w_intT"),
+                                  w_scale=pk.get("w_scale"))
         else:
             out = apply_linear(x, w, b, qp)
         return self._post(name, out.astype(x.dtype), {"x": x})
@@ -72,6 +82,35 @@ class QuantCtx:
         else:
             out = apply_matmul(a, b, qp)
         return self._post(name, out.astype(a.dtype), {"a": a, "b": b})
+
+    def linear_gelu(self, name, x, w, b):
+        """gelu(linear(x)) with the GELU fused into the int8 kernel epilogue
+        on the fused serving path (the pre-activation then never crosses
+        HBM).  Identical semantics to gelu(self.linear(...)) — capture/eps
+        modes keep the generic path so taps record the pre-GELU output."""
+        qp = self.qstate.get(name)
+        if (self.int8 == "fused" and qp is not None and not self.capture
+                and self.eps is None):
+            from ..ops.int8_serve import fused_linear
+            out = fused_linear(x, w, b, qp, self.packed.get(name) or {},
+                               epilogue="gelu")
+            if out is not None:
+                return out.astype(x.dtype)
+        return gelu(self.linear(name, x, w, b))
+
+    def attention(self, name1, name2, q, k, v, scale):
+        """Fused int8 attention fast path: softmax(q@kᵀ·scale)@v with both
+        matmul QPs realized in one Pallas kernel (ops/int8_serve.py).
+        Returns None when unavailable — the caller then runs the generic
+        matmul1/softmax/matmul2 sequence (identical semantics)."""
+        if self.int8 != "fused" or self.capture or self.eps is not None:
+            return None
+        qp1 = self.qstate.get(name1)
+        qp2 = self.qstate.get(name2)
+        if qp1 is None or qp2 is None:
+            return None
+        from ..ops.int8_serve import fused_attention
+        return fused_attention(q, k, v, qp1, qp2, scale)
 
     def conv2d_patch(self, name, x, w, b, patch: int):
         """Quantizable non-overlapping patch-embedding conv (stride ==
@@ -99,7 +138,9 @@ class QuantCtx:
         xp = xp.transpose(0, 2, 4, 1, 3, 5).reshape(B, nh * nw, C * patch * patch)
         if qp is not None and self.int8:
             from ..ops.int8 import conv_int8
-            out = conv_int8(xp, w, b, qp, patch)
+            pk = self.packed.get(name) or {}
+            out = conv_int8(xp, w, b, qp, patch, w_intT=pk.get("w_intT"),
+                            w_scale=pk.get("w_scale"))
         else:
             out = jnp.matmul(xp, w.reshape(oc, -1).T,
                              preferred_element_type=jnp.float32)

@@ -102,9 +102,10 @@ class Net:
     op_shapes: Dict[str, Any]
     data_config: DataConfig
 
-    def apply(self, x, qstate=None, eps=None, capture=False, int8=False):
+    def apply(self, x, qstate=None, eps=None, capture=False, int8=False,
+              packed=None):
         return self.forward(self.params, x, self.cfg, qstate=qstate, eps=eps,
-                            capture=capture, int8=int8)
+                            capture=capture, int8=int8, packed=packed)
 
 
 def model_config(name: str):

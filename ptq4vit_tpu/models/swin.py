@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import QuantCtx, gelu, layer_norm, softmax_f32
+from .common import QuantCtx, layer_norm, softmax_f32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -210,7 +210,8 @@ def forward(params: Dict[str, Any], x, cfg: SwinConfig,
             eps: Optional[Dict[str, Any]] = None,
             capture: bool = False,
             int8: bool = False,
-            compute_dtype=None):
+            compute_dtype=None,
+            packed: Optional[Dict[str, Any]] = None):
     """Swin forward.  x: (B, 3, H, W) NCHW float32."""
     if compute_dtype is not None:
         # serving mode: bf16 activations/params; matmul accumulation stays
@@ -218,7 +219,8 @@ def forward(params: Dict[str, Any], x, cfg: SwinConfig,
         params = jax.tree.map(lambda a: a.astype(compute_dtype)
                               if hasattr(a, "astype") else a, params)
         x = x.astype(compute_dtype)
-    ctx = QuantCtx(qstate=qstate, eps=eps, capture=capture, int8=int8)
+    ctx = QuantCtx(qstate=qstate, eps=eps, capture=capture, int8=int8,
+                   packed=packed)
     B = x.shape[0]
     pe = params["patch_embed"]
     x, _ = ctx.conv2d_patch("patch_embed.proj", x, pe["proj"]["weight"],
@@ -248,9 +250,9 @@ def forward(params: Dict[str, Any], x, cfg: SwinConfig,
             x = shortcut + y.reshape(B, res * res, d)
             y = layer_norm(x, blk["norm2"]["weight"], blk["norm2"]["bias"],
                            cfg.ln_eps)
-            y = ctx.linear(f"{p}.mlp.fc1", y, blk["mlp"]["fc1"]["weight"],
-                           blk["mlp"]["fc1"]["bias"])
-            y = gelu(y)
+            y = ctx.linear_gelu(f"{p}.mlp.fc1", y,
+                                blk["mlp"]["fc1"]["weight"],
+                                blk["mlp"]["fc1"]["bias"])
             y = ctx.linear(f"{p}.mlp.fc2", y, blk["mlp"]["fc2"]["weight"],
                            blk["mlp"]["fc2"]["bias"])
             x = x + y

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import QuantCtx, gelu, layer_norm, softmax_f32
+from .common import QuantCtx, layer_norm, softmax_f32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -100,7 +100,8 @@ def forward(params: Dict[str, Any], x, cfg: ViTConfig,
             eps: Optional[Dict[str, Any]] = None,
             capture: bool = False,
             int8: bool = False,
-            compute_dtype=None):
+            compute_dtype=None,
+            packed: Optional[Dict[str, Any]] = None):
     """ViT forward.  x: (B, 3, H, W) NCHW float32.
 
     Returns logits, or (logits, taps) when ``capture``.
@@ -111,7 +112,8 @@ def forward(params: Dict[str, Any], x, cfg: ViTConfig,
         params = jax.tree.map(lambda a: a.astype(compute_dtype)
                               if hasattr(a, "astype") else a, params)
         x = x.astype(compute_dtype)
-    ctx = QuantCtx(qstate=qstate, eps=eps, capture=capture, int8=int8)
+    ctx = QuantCtx(qstate=qstate, eps=eps, capture=capture, int8=int8,
+                   packed=packed)
     B = x.shape[0]
     d, H = cfg.embed_dim, cfg.num_heads
     scale = cfg.head_dim ** -0.5
@@ -131,19 +133,21 @@ def forward(params: Dict[str, Any], x, cfg: ViTConfig,
         N = qkv.shape[1]
         qkv = qkv.reshape(B, N, 3, H, cfg.head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = ctx.matmul(f"{p}.attn.matmul1", q,
-                          jnp.swapaxes(k, -2, -1)) * scale
-        attn = softmax_f32(attn, axis=-1)
-        y = ctx.matmul(f"{p}.attn.matmul2", attn, v)
+        y = ctx.attention(f"{p}.attn.matmul1", f"{p}.attn.matmul2",
+                          q, k, v, scale)
+        if y is None:
+            attn = ctx.matmul(f"{p}.attn.matmul1", q,
+                              jnp.swapaxes(k, -2, -1)) * scale
+            attn = softmax_f32(attn, axis=-1)
+            y = ctx.matmul(f"{p}.attn.matmul2", attn, v)
         y = y.transpose(0, 2, 1, 3).reshape(B, N, d)
         y = ctx.linear(f"{p}.attn.proj", y, blk["attn"]["proj"]["weight"],
                        blk["attn"]["proj"]["bias"])
         x = x + y
         # --- MLP
         y = layer_norm(x, blk["norm2"]["weight"], blk["norm2"]["bias"], cfg.ln_eps)
-        y = ctx.linear(f"{p}.mlp.fc1", y, blk["mlp"]["fc1"]["weight"],
-                       blk["mlp"]["fc1"]["bias"])
-        y = gelu(y)
+        y = ctx.linear_gelu(f"{p}.mlp.fc1", y, blk["mlp"]["fc1"]["weight"],
+                            blk["mlp"]["fc1"]["bias"])
         y = ctx.linear(f"{p}.mlp.fc2", y, blk["mlp"]["fc2"]["weight"],
                        blk["mlp"]["fc2"]["bias"])
         x = x + y

@@ -30,32 +30,36 @@ from ..quant import fakequant as fq
 from ..quant.qparams import ConvQP, LinearQP, MatMulQP
 
 
-def _int8_dot(x_int, w_int):
-    """(..., k) int8 @ (o, k) int8 -> (..., o) int32 on the MXU."""
+def _int8_dot(x_int, w_intT):
+    """(..., k) int8 @ (k, o) int8 -> (..., o) int32 on the MXU."""
     return jax.lax.dot_general(
-        x_int, w_int,
-        dimension_numbers=(((x_int.ndim - 1,), (1,)), ((), ())),
+        x_int, w_intT,
+        dimension_numbers=(((x_int.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
 
 
-def linear_int8(x, w, b, qp: LinearQP, w_int=None):
+def linear_int8(x, w, b, qp: LinearQP, w_intT=None, w_scale=None):
     """int8 execution of a calibrated linear (matches apply_linear's
-    fake-quant semantics; requires n_H == 1, n_a == 1)."""
+    fake-quant semantics; requires n_H == 1, n_a == 1).
+
+    ``w_intT``/``w_scale`` (from ops/pack.pack_weights) skip the on-the-fly
+    weight requantization and read 1-byte weights from HBM."""
     n_V, _, n_H, _ = qp.w_interval.shape
     if n_H != 1 or qp.a_interval.shape[0] != 1:
         raise NotImplementedError("int8 path needs n_H == 1 and n_a == 1")
     oc, ic = w.shape
-    if w_int is None:
+    if w_intT is None:
         w4 = w.reshape(n_V, oc // n_V, ic)
-        w_int = fq.int_quant(w4, qp.w_interval[:, :, 0], qp.w_qmax) \
-            .astype(jnp.int8).reshape(oc, ic)
-    # per-out-channel dequant scale (row-block v's interval)
-    w_scale = jnp.broadcast_to(
-        qp.w_interval[:, :, 0, 0], (n_V, oc // n_V)).reshape(oc)
+        w_intT = fq.int_quant(w4, qp.w_interval[:, :, 0], qp.w_qmax) \
+            .astype(jnp.int8).reshape(oc, ic).T
+    if w_scale is None:
+        # per-out-channel dequant scale (row-block v's interval)
+        w_scale = jnp.broadcast_to(
+            qp.w_interval[:, :, 0, 0], (n_V, oc // n_V)).reshape(oc)
 
     if qp.a_bit >= 32:
         # activation unquantized: fp32 x @ dequantized int weight
-        y = jnp.matmul(x, (w_int.astype(jnp.float32) * w_scale[:, None]).T,
+        y = jnp.matmul(x, w_intT.astype(jnp.float32) * w_scale[None, :],
                        preferred_element_type=jnp.float32)
         return y + b if b is not None else y
 
@@ -65,12 +69,12 @@ def linear_int8(x, w, b, qp: LinearQP, w_int=None):
             .astype(jnp.int8)
         neg = jnp.clip(jnp.round(x / qp.a_neg_interval), -qp.a_qmax, 0) \
             .astype(jnp.int8)
-        acc = (_int8_dot(pos, w_int).astype(jnp.float32) * a_scale
-               + _int8_dot(neg, w_int).astype(jnp.float32)
+        acc = (_int8_dot(pos, w_intT).astype(jnp.float32) * a_scale
+               + _int8_dot(neg, w_intT).astype(jnp.float32)
                * qp.a_neg_interval)
     else:
         x_int = fq.int_quant(x, a_scale, qp.a_qmax).astype(jnp.int8)
-        acc = _int8_dot(x_int, w_int).astype(jnp.float32) * a_scale
+        acc = _int8_dot(x_int, w_intT).astype(jnp.float32) * a_scale
     y = acc * w_scale
     return y + b if b is not None else y
 
@@ -126,7 +130,7 @@ def matmul_int8(a, b, qp: MatMulQP):
     return out.reshape(lead + out.shape[-3:])
 
 
-def conv_int8(xp, w, b, qp: ConvQP, patch: int):
+def conv_int8(xp, w, b, qp: ConvQP, patch: int, w_intT=None, w_scale=None):
     """int8 patch-embed conv on pre-patchified input (B, N, ic*p*p)."""
     oc = w.shape[0]
     wm = w.reshape(oc, -1)
@@ -139,15 +143,17 @@ def conv_int8(xp, w, b, qp: ConvQP, patch: int):
                  else fq.fake_quant(xp, qp.a_interval, qp.a_qmax))
         y = jnp.matmul(x_sim, w_sim.T, preferred_element_type=jnp.float32)
         return y + b if b is not None else y
-    w_scale = jnp.broadcast_to(qp.w_interval.reshape(-1, 1, 1, 1)[:, 0, 0, 0]
-                               if qp.w_interval.ndim else qp.w_interval,
-                               (oc,))
-    w_int = fq.int_quant(wm, w_scale[:, None], qp.w_qmax)
+    if w_scale is None:
+        w_scale = jnp.broadcast_to(
+            qp.w_interval.reshape(-1, 1, 1, 1)[:, 0, 0, 0]
+            if qp.w_interval.ndim else qp.w_interval, (oc,))
+    if w_intT is None:
+        w_intT = fq.int_quant(wm, w_scale[:, None], qp.w_qmax).T
     if qp.a_bit >= 32 or qp.a_interval is None:
-        y = jnp.matmul(xp, (w_int * w_scale[:, None]).T,
+        y = jnp.matmul(xp, w_intT.astype(jnp.float32) * w_scale[None, :],
                        preferred_element_type=jnp.float32)
     else:
         x_int = fq.int_quant(xp, qp.a_interval, qp.a_qmax).astype(jnp.int8)
-        y = _int8_dot(x_int, w_int.astype(jnp.int8)).astype(jnp.float32) \
+        y = _int8_dot(x_int, w_intT.astype(jnp.int8)).astype(jnp.float32) \
             * (qp.a_interval * w_scale)
     return y + b if b is not None else y

@@ -99,6 +99,42 @@ def test_get_dataset_dispatcher():
     assert x.shape == (1, 1, 4, 4)
 
 
+def test_coco_loader(tmp_path, rng):
+    """COCO detection lists (reference datasets.py:130-196): list files name
+    images, labels live in a sibling labels/ tree, images letterbox to
+    img_size."""
+    img_dir = tmp_path / "images"
+    lbl_dir = tmp_path / "labels"
+    img_dir.mkdir()
+    lbl_dir.mkdir()
+    paths = []
+    for i in range(3):
+        p = img_dir / f"im{i}.jpg"
+        arr = (rng.random((30, 44, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(p)
+        (lbl_dir / f"im{i}.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+        paths.append(str(p))
+    (tmp_path / "trainvalno5k.txt").write_text("\n".join(paths[:2]) + "\n")
+    (tmp_path / "5k.txt").write_text(paths[2] + "\n")
+
+    g = D.COCOLoaderGenerator(str(tmp_path), "coco", 2, 1, 0)
+    assert len(g.train_set) == 2 and len(g.test_set) == 1
+    x, y = g.test_set[0]
+    assert x.shape == (3, 416, 416) and x.dtype == np.float32
+    assert x.min() >= 0.0 and x.max() <= 1.0
+    assert y.shape[-1] == 5  # (class, cx, cy, w, h)
+    for xb, _ in g.train_loader():
+        assert xb.shape == (2, 3, 416, 416)
+    # the dispatcher route (previously only exercised indirectly)
+    class A:
+        dataset = "coco"
+        dataset_root = str(tmp_path)
+        num_workers = 0
+        batch_size = 2
+    train, test = D.get_dataset(A())
+    assert len(test.dataset) == 1
+
+
 def test_calculate_n_correct():
     out = np.asarray([[0.1, 0.9], [0.8, 0.2], [0.3, 0.7]])
     assert D.calculate_n_correct(out, np.asarray([1, 0, 0])) == 2

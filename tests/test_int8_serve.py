@@ -1,0 +1,106 @@
+"""Fused Pallas serving kernels (ops/int8_serve.py) + packed int8 weights
+(ops/pack.py): must reproduce the XLA int8 path (itself verified against
+fake-quant) up to fp32 rescale rounding."""
+import jax.numpy as jnp
+import numpy as np
+
+from ptq4vit_tpu.ops.int8 import linear_int8
+from ptq4vit_tpu.ops.int8_serve import fused_linear
+from ptq4vit_tpu.ops.pack import pack_weights
+from ptq4vit_tpu.quant.fakequant import GELU_NEG_CLIP
+from ptq4vit_tpu.quant.qparams import LinearQP
+from tests.test_capture import tiny_net
+
+
+def _qp(w, x, n_V=1, postgelu=False):
+    N, K = w.shape
+    w4 = w.reshape(n_V, N // n_V, 1, K)
+    return LinearQP(
+        w_interval=jnp.asarray(np.abs(w4).max((1, 3), keepdims=True) / 127.5),
+        a_interval=jnp.asarray([[np.float32(np.abs(x).max() / 127.5)]]),
+        a_neg_interval=(jnp.float32(GELU_NEG_CLIP / 128) if postgelu else None),
+        postgelu=postgelu)
+
+
+def test_fused_linear_matches_xla_int8(rng):
+    for (M, K, N, n_V, postgelu) in [(37, 128, 96, 3, False),
+                                     (300, 256, 130, 1, False),
+                                     (64, 128, 64, 1, True)]:
+        w = rng.standard_normal((N, K)).astype(np.float32)
+        b = rng.standard_normal((N,)).astype(np.float32)
+        x = rng.standard_normal((2, M, K)).astype(np.float32)
+        if postgelu:
+            x = np.abs(x)
+            x[:, ::3] *= -0.05
+        qp = _qp(w, x, n_V, postgelu)
+        ref = np.asarray(linear_int8(jnp.asarray(x), jnp.asarray(w),
+                                     jnp.asarray(b), qp))
+        got = np.asarray(fused_linear(jnp.asarray(x), jnp.asarray(w),
+                                      jnp.asarray(b), qp, {}))
+        np.testing.assert_allclose(got, ref, rtol=1e-5,
+                                   atol=1e-5 * np.abs(ref).max())
+
+
+def test_fused_linear_out_of_scope_falls_back(rng):
+    w = rng.standard_normal((8, 12)).astype(np.float32)  # K % 128 != 0
+    x = rng.standard_normal((4, 12)).astype(np.float32)
+    assert fused_linear(jnp.asarray(x), jnp.asarray(w), None,
+                        _qp(w, x), {}) is None
+
+
+def test_fused_attention_matches_fake_quant(rng):
+    from ptq4vit_tpu.models.common import softmax_f32
+    from ptq4vit_tpu.ops.int8_serve import fused_attention
+    from ptq4vit_tpu.quant.qparams import MatMulQP, apply_matmul
+
+    B, H, N, hd = 2, 3, 37, 64
+    q = rng.standard_normal((B, H, N, hd)).astype(np.float32)
+    k = rng.standard_normal((B, H, N, hd)).astype(np.float32)
+    v = rng.standard_normal((B, H, N, hd)).astype(np.float32)
+    shape = (1, H, 1, 1, 1, 1, 1)
+    qp1 = MatMulQP(
+        A_interval=jnp.asarray(np.abs(q).max((0, 2, 3)).reshape(shape) / 127.5),
+        B_interval=jnp.asarray(np.abs(k).max((0, 2, 3)).reshape(shape) / 127.5))
+    scale = hd ** -0.5
+    attn = apply_matmul(jnp.asarray(q),
+                        jnp.swapaxes(jnp.asarray(k), -2, -1), qp1) * scale
+    attn = softmax_f32(attn)
+    for sos in (True, False):
+        split = jnp.float32(2.0 ** -4)
+        qp2 = MatMulQP(
+            A_interval=(split / 127.0 if sos
+                        else jnp.full(shape, 1 / 127.5, jnp.float32)),
+            B_interval=jnp.asarray(
+                np.abs(v).max((0, 2, 3)).reshape(shape) / 127.5),
+            split=(split if sos else None))
+        ref = np.asarray(apply_matmul(attn, jnp.asarray(v), qp2))
+        got = np.asarray(fused_attention(jnp.asarray(q), jnp.asarray(k),
+                                         jnp.asarray(v), qp1, qp2, scale))
+        np.testing.assert_allclose(got, ref, rtol=1e-5,
+                                   atol=2e-5 * np.abs(ref).max())
+
+
+def test_packed_fused_model_forward_matches_int8(rng):
+    """End-to-end: pack_weights + int8='fused' on a tiny ViT must match the
+    unpacked XLA int8 forward."""
+    from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
+    from tests.test_calibrator import small_cfg
+
+    net = tiny_net()
+    x = rng.standard_normal((4, 3, net.cfg.img_size, net.cfg.img_size)) \
+        .astype(np.float32)
+    from ptq4vit_tpu.configs import ptq4vit
+    qstate = HessianQuantCalibrator(net, small_cfg(ptq4vit()), x,
+                                    batch_size=2).batching_quant_calib()
+    packed = pack_weights(net.params, qstate)
+    assert any("w_intT" in v for v in packed.values())
+    ref = np.asarray(net.apply(jnp.asarray(x), qstate=qstate, int8=True))
+    got = np.asarray(net.apply(jnp.asarray(x), qstate=qstate, int8="fused",
+                               packed=packed))
+    np.testing.assert_allclose(got, ref, rtol=1e-4,
+                               atol=1e-4 * np.abs(ref).max())
+    # packed weights alone (XLA path) are bit-compatible too
+    got2 = np.asarray(net.apply(jnp.asarray(x), qstate=qstate, int8=True,
+                                packed=packed))
+    np.testing.assert_allclose(got2, ref, rtol=1e-5,
+                               atol=1e-5 * np.abs(ref).max())

@@ -150,6 +150,99 @@ def test_postgelu_linear_search_parity(rng):
     assert qp.postgelu and abs(qp.a_neg_interval - GELU_NEG_CLIP / 32) < 1e-9
 
 
+def oracle_linear_pearson(w, b, x, raw_out, pol, cbs):
+    """Pearson-metric linear search with the reference's CHUNK-LOCAL means
+    (_get_pearson_w/_get_pearson_a, linear.py:426-453, chunks of
+    calib_batch_size in the b_st loops, linear.py:459-532)."""
+    w, x, raw_out = T(w), T(x), T(raw_out)
+    b = None if b is None else T(b)
+    S_, Tk, ic = x.shape
+    oc = raw_out.shape[-1]
+    n_V = pol.n_V
+    crb_r = oc // n_V
+    wq, aq = 2 ** (pol.w_bit - 1), 2 ** (pol.a_bit - 1)
+
+    w4 = w.view(n_V, crb_r, 1, ic)
+    w_int = w4.abs().amax([1, 3], keepdim=True) / (wq - 0.5)
+    a_int = (x.abs().amax() / (aq - 0.5)).view(1, 1)
+    g = grid_t(pol)
+    w_c = g.view(-1, 1, 1, 1, 1) * w_int.unsqueeze(0)
+    a_c = g.view(1, -1) * a_int
+
+    def quant_in(xx, ai):
+        return (xx / ai.view(())).round().clamp(-aq, aq - 1) * ai.view(())
+
+    def pearson_w(rawc, outc):
+        # rawc: b,T,1,n_V,crb ; outc: b,T,P,n_V,crb -> (b, P, n_V)
+        bb, _, P = outc.shape[0], 0, outc.shape[2]
+        s = outc.permute(0, 1, 4, 3, 2).reshape(bb, -1, n_V, P)
+        r = rawc.permute(0, 1, 4, 3, 2).reshape(bb, -1, n_V, 1)
+        s = s - s.mean(dim=[0, 1], keepdim=True)
+        r = r - r.mean(dim=[0, 1], keepdim=True)
+        c = torch.nn.functional.cosine_similarity(r, s, dim=1)  # b,n_V,P
+        return c.permute(0, 2, 1)
+
+    def pearson_a(raw, out):
+        # raw: b,T,1,oc ; out: b,T,P,oc -> (b, P)
+        bb, P = out.shape[0], out.shape[2]
+        s = out.permute(0, 1, 3, 2).reshape(bb, -1, P)
+        r = raw.permute(0, 1, 3, 2).reshape(bb, -1, 1)
+        s = s - s.mean(dim=[0, 1], keepdim=True)
+        r = r - r.mean(dim=[0, 1], keepdim=True)
+        return torch.nn.functional.cosine_similarity(r, s, dim=1)
+
+    for _ in range(pol.search_round):
+        sims_total = torch.zeros(pol.eq_n, n_V)
+        for b_st in range(0, S_, cbs):
+            xc = x[b_st:b_st + cbs]
+            rawc = raw_out[b_st:b_st + cbs].view(-1, Tk, 1, n_V, crb_r)
+            outs = []
+            for i in range(pol.eq_n):
+                w_sim = ((w4 / w_c[i]).round().clamp(-wq, wq - 1)
+                         * w_c[i]).view(oc, ic)
+                outs.append(torch.nn.functional.linear(
+                    quant_in(xc, a_int), w_sim, b))
+            outc = torch.stack(outs, dim=2).view(-1, Tk, pol.eq_n, n_V, crb_r)
+            sims_total += pearson_w(rawc, outc).sum(0)
+        best = sims_total.argmax(0)
+        for v in range(n_V):
+            w_int[v] = w_c[best[v], v]
+        sims_total = torch.zeros(pol.eq_n)
+        w_sim = ((w4 / w_int).round().clamp(-wq, wq - 1) * w_int).view(oc, ic)
+        for b_st in range(0, S_, cbs):
+            xc = x[b_st:b_st + cbs]
+            raw = raw_out[b_st:b_st + cbs].view(-1, Tk, 1, oc)
+            outs = [torch.nn.functional.linear(quant_in(xc, a_c[:, i]),
+                                               w_sim, b)
+                    for i in range(pol.eq_n)]
+            out = torch.stack(outs, dim=2)
+            sims_total += pearson_a(raw, out).sum(0)
+        a_int = a_c[:, int(sims_total.argmax())].view(1, 1)
+    return w_int.numpy(), a_int.numpy()
+
+
+def test_linear_search_pearson_chunk_parity(rng):
+    """Pearson means are chunk-local: the engine pinned to calib_bs must
+    match the chunked torch oracle, and (sanity) differ from a full-batch
+    statistics run when chunking changes the argmax."""
+    pol = _pol(metric="pearson", n_V=2, n_H=1, n_a=1, search_round=2)
+    S_, Tk, ic, oc = 6, 5, 8, 10
+    cbs = 2
+    w = rng.standard_normal((oc, ic)).astype(np.float32)
+    b = rng.standard_normal((oc,)).astype(np.float32)
+    x = rng.standard_normal((S_, Tk, ic)).astype(np.float32)
+    # shift per-sample means so chunk-local centering actually matters
+    x += rng.standard_normal((S_, 1, 1)).astype(np.float32)
+    raw_out = (x @ w.T + b).astype(np.float32)
+    cap = OpCapture(kind="linear", inputs={"x": x}, out=raw_out, grad=None)
+    qp = S.search_linear(w, b, cap, pol, calib_bs=cbs)
+    ref_w, ref_a = oracle_linear_pearson(w, b, x, raw_out, pol, cbs)
+    np.testing.assert_allclose(np.asarray(qp.w_interval).reshape(ref_w.shape),
+                               ref_w, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(qp.a_interval).reshape(ref_a.shape),
+                               ref_a, rtol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # matmul oracle (head-wise groups, n_V=n_H=1)
 # ---------------------------------------------------------------------------
