@@ -50,7 +50,7 @@ def _params_for_op(params: Dict[str, Any], name: str):
 
 
 def _tap_bytes(net, calib_n: int, need_grad: bool,
-               store_matmul_out: bool = True,
+               store_raw_out: bool = True,
                elem_bytes: int = 4) -> Dict[str, int]:
     """Bytes of each op's full-calib-set capture (inputs+out[+grad])."""
     xb = jax.ShapeDtypeStruct((1,) + (3, net.cfg.img_size, net.cfg.img_size),
@@ -60,10 +60,9 @@ def _tap_bytes(net, calib_n: int, need_grad: bool,
     kinds = {n: t for n, t in net.op_inventory}
     out = {}
     for name, _ in net.op_inventory:
-        is_matmul = "qmatmul" in kinds[name]
         n = 0
         for key, v in shapes[name].items():
-            if key == "out" and is_matmul and not store_matmul_out:
+            if key == "out" and not store_raw_out:
                 continue
             n += int(np.prod(v.shape)) * elem_bytes
         if need_grad:
@@ -281,7 +280,7 @@ class HessianQuantCalibrator:
         t_setup = time.time()
         elem = 2 if self.cache_dtype is not None else 4
         sizes = _tap_bytes(net, self.calib_x.shape[0], need_grad,
-                           store_matmul_out=not self.device_resident,
+                           store_raw_out=not self.device_resident,
                            elem_bytes=elem)
         groups: List[List[str]] = [[]]
         acc = 0
@@ -302,11 +301,58 @@ class HessianQuantCalibrator:
                           need_grad=need_grad, probe_seed=self.probe_seed,
                           probe_sigma=self.probe_sigma, ops=group,
                           to_host=not self.device_resident,
-                          store_matmul_out=not self.device_resident,
+                          store_raw_out=not self.device_resident,
                           cache_dtype=self.cache_dtype,
                           target_probs=target, mesh=self.mesh)
             self.report.capture_seconds += time.time() - t0
+
+            # batch same-shape matmul searches (e.g. the L identical
+            # window-attention matmuls of a Swin stage) into one vmapped
+            # dispatch each — see search.search_matmul_batch
+            if self.mesh is None:
+                cohorts: Dict[Any, List[str]] = {}
+                for name in group:
+                    pol = policies[name]
+                    blocked = (pol.n_V_A != 1 or pol.n_H_A != 1
+                               or pol.n_V_B != 1 or pol.n_H_B != 1
+                               or pol.n_G_A > 1 or pol.n_G_B > 1)
+                    if "qmatmul" not in mtypes[name] or blocked:
+                        continue
+                    cap = raw[name]
+                    key = (mtypes[name], pol, cap.inputs["a"].shape,
+                           cap.inputs["b"].shape, cap.out is not None,
+                           cap.grad is not None)
+                    cohorts.setdefault(key, []).append(name)
+                for all_names in cohorts.values():
+                    if len(all_names) < 2:
+                        continue
+                    # bound the transient stacked copy to ~2 GB of caches
+                    c0 = raw[all_names[0]]
+                    per = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                              for a in [c0.inputs["a"], c0.inputs["b"]]
+                              + ([c0.grad] if c0.grad is not None else [])
+                              + ([c0.out] if c0.out is not None else []))
+                    lc = max(2, int((2 << 30) // max(per, 1)))
+                    for st in range(0, len(all_names), lc):
+                        names = all_names[st:st + lc]
+                        t0 = time.time()
+                        qps = S.search_matmul_batch(
+                            [raw[n] for n in names], policies[names[0]],
+                            self.search_budget)
+                        dt = (time.time() - t0) / len(names)
+                        for n, qp in zip(names, qps):
+                            qstate[n] = qp
+                            self._save_ckpt(n, mtypes[n], qp)
+                            self.report.search_seconds[n] = dt
+                            raw[n] = None
+                        if verbose:
+                            print(f"[calib] {len(names)} x matmul batch "
+                                  f"({names[0]}...): "
+                                  f"{dt * len(names):.2f}s", flush=True)
+
             for name in group:
+                if name in qstate:
+                    continue
                 mtype = mtypes[name]
                 t0 = time.time()
                 qp = self._search_one(name, mtype, policies[name], raw[name])

@@ -40,8 +40,9 @@ class OpCapture:
     raw_out / raw_grad caches, quant_calib.py:343-354)."""
     kind: str
     inputs: Dict[str, np.ndarray]   # linear/conv: {"x"}; matmul: {"a","b"}
-    out: Optional[np.ndarray] = None   # None for matmuls captured with
-                                       # store_matmul_out=False (== A@B)
+    out: Optional[np.ndarray] = None   # None when captured with
+                                       # store_raw_out=False (recomputed
+                                       # from inputs+params in the search)
     grad: Optional[np.ndarray] = None
 
 
@@ -68,7 +69,7 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
             qstate: Optional[Dict] = None,
             target_probs: Optional[np.ndarray] = None,
             to_host: bool = True,
-            store_matmul_out: bool = True,
+            store_raw_out: bool = True,
             cache_dtype=None,
             mesh=None) -> Dict[str, OpCapture]:
     """Run the capture pass over the calibration set.
@@ -90,9 +91,12 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
        (jnp arrays, concatenated in HBM) — the production TPU path: host
        round-trips on a tunneled/remote device run at ~MB/s, so calibration
        data must never leave the chip.
-    store_matmul_out: False drops matmul raw_out from the caches (it equals
-       A@B exactly — the search recomputes it per batch-chunk, saving the
-       largest HBM tenants: the (S,H,N,N) attention-score outputs).
+    store_raw_out: False drops every op's raw_out from the caches — the
+       searches recompute it from the cached inputs + params (matmul:
+       out == A@B; linear/conv: out == x@wT+b, the same XLA dot on the same
+       operands, so bit-identical).  Saves the largest HBM tenants (the
+       (S,H,N,N) attention-score outputs and the (S,T,4d) MLP outs) and
+       cuts the op-group count of grouped capture.
     cache_dtype: storage dtype of the caches (e.g. jnp.bfloat16 halves the
        HBM footprint and the op-group count; searches upcast to fp32 —
        scale selection may shift by the bf16 rounding of the raw data, so
@@ -157,14 +161,14 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
                     else "matmul" if "qmatmul" in mtype else "linear")
 
     def filter_taps(taps):
-        """Keep only the requested ops/fields (drops matmul outs when they
+        """Keep only the requested ops/fields (drops raw outs when they
         will be recomputed); cast to the cache dtype."""
         cast = ((lambda a: a.astype(cache_dtype)) if cache_dtype is not None
                 else (lambda a: a))
         out = {}
         for n in names:
             rec = {k: cast(taps[n][k]) for k in TAP_FIELDS[kinds[n]]}
-            if store_matmul_out or kinds[n] != "matmul":
+            if store_raw_out:
                 rec["out"] = cast(taps[n]["out"])
             out[n] = rec
         return out

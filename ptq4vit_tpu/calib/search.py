@@ -140,6 +140,15 @@ def _linear_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
     (S, T, oc).
     """
     x = x.astype(jnp.float32)
+    if raw_out is None:
+        # captured with store_raw_out=False: the raw output is the same XLA
+        # dot on the same operands the capture forward ran — bit-identical
+        # (apply_linear, quant/qparams.py:60); materialized transiently here
+        # instead of living in the resident caches for the whole group
+        raw_out = jnp.matmul(x, w.astype(jnp.float32).T,
+                             preferred_element_type=jnp.float32)
+        if b is not None:
+            raw_out = raw_out + b
     raw_out = raw_out.astype(jnp.float32)
     if raw_grad is not None:
         raw_grad = raw_grad.astype(jnp.float32)
@@ -360,12 +369,13 @@ def search_linear(w, b, cap, policy: OpPolicy,
     ``calib_bs`` pins the batch scan chunk for the pearson metric (see
     module docstring)."""
     x = jnp.asarray(cap.inputs["x"])
-    raw_out = jnp.asarray(cap.out)
+    raw_out = None if cap.out is None else jnp.asarray(cap.out)
     S, ic = x.shape[0], x.shape[-1]
-    oc = raw_out.shape[-1]
+    oc = w.shape[0]
     T = int(np.prod(x.shape[1:-1])) if x.ndim > 2 else 1
     x = x.reshape(S, T, ic)
-    raw_out = raw_out.reshape(S, T, oc)
+    if raw_out is not None:
+        raw_out = raw_out.reshape(S, T, oc)
     grad = (jnp.asarray(cap.grad).reshape(S, T, oc)
             if policy.metric == "hessian" else None)
     P, bs = plan_chunks(policy.eq_n, S, T * oc, budget)
@@ -785,6 +795,57 @@ def search_matmul(cap, policy: OpPolicy,
                     A_bit=policy.a_bit, B_bit=policy.b_bit)
 
 
+def search_matmul_batch(caps, policy: OpPolicy,
+                        budget: int = DEFAULT_BUDGET):
+    """Calibrate L same-shape matmul ops in ONE vmapped dispatch.
+
+    The reference searches each module separately (matmul.py:565-576); on a
+    high-dispatch-latency device, L separate jit calls for the L identical
+    window-attention matmuls of a Swin stage cost L dispatches and run
+    MXU-hostile small shapes one at a time.  vmapping the whole search over
+    the op axis amortizes both.  Results are identical to per-op calls
+    (the op axis is batched, never reduced over).
+
+    caps: list of OpCapture with identical A/B/grad shapes.
+    Returns [MatMulQP] in caps order.
+    """
+    L = len(caps)
+    if L == 1:
+        return [search_matmul(caps[0], policy, budget)]
+    A = jnp.stack([jnp.asarray(c.inputs["a"]) for c in caps])
+    B = jnp.stack([jnp.asarray(c.inputs["b"]) for c in caps])
+    have_raw = caps[0].out is not None
+    have_grad = policy.metric == "hessian"
+    raw = (jnp.stack([jnp.asarray(c.out) for c in caps]) if have_raw
+           else jnp.zeros((L, 1), jnp.float32))
+    grad = (jnp.stack([jnp.asarray(c.grad) for c in caps]) if have_grad
+            else jnp.zeros((L, 1), jnp.float32))
+    S, G, R, _ = A.shape[1:]
+    Co = B.shape[-1]
+    P, bs = plan_chunks(policy.eq_n, S, L * G * R * Co, budget)
+
+    def one(a, b, r, g):
+        return _matmul_search_jit(a, b, r if have_raw else None,
+                                  g if have_grad else None,
+                                  policy, P, bs, G)
+
+    a_states, B_ints = jax.vmap(one)(A, B, raw, grad)
+    A_qmax = fq.qmax_for_bit(policy.a_bit)
+    sos = policy.quantizer == "sos_matmul"
+    out = []
+    for i in range(L):
+        a_state, B_int = a_states[i], B_ints[i]
+        if sos:
+            out.append(MatMulQP(A_interval=a_state / (A_qmax - 1),
+                                B_interval=B_int, split=a_state,
+                                A_bit=policy.a_bit, B_bit=policy.b_bit))
+        else:
+            out.append(MatMulQP(A_interval=a_state, B_interval=B_int,
+                                split=None, A_bit=policy.a_bit,
+                                B_bit=policy.b_bit))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # conv search (patch-embedding conv as matmul)
 # ---------------------------------------------------------------------------
@@ -801,6 +862,13 @@ def _conv_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
     to the reference's NCHW spatial means.
     """
     x = x.astype(jnp.float32)
+    if raw_out is None:
+        # store_raw_out=False capture: same dot as conv2d_patch
+        # (models/common.py) on the same operands -> bit-identical
+        raw_out = jnp.matmul(x, w.astype(jnp.float32).T,
+                             preferred_element_type=jnp.float32)
+        if b is not None:
+            raw_out = raw_out + b
     raw_out = raw_out.astype(jnp.float32)
     if raw_grad is not None:
         raw_grad = raw_grad.astype(jnp.float32)
@@ -959,6 +1027,13 @@ def _conv_ptqsl_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
     x: (S, N, icp) patchified input; w: (oc, icp) flattened kernel.
     """
     x = x.astype(jnp.float32)
+    if raw_out is None:
+        # store_raw_out=False capture: same dot as conv2d_patch
+        # (models/common.py) on the same operands -> bit-identical
+        raw_out = jnp.matmul(x, w.astype(jnp.float32).T,
+                             preferred_element_type=jnp.float32)
+        if b is not None:
+            raw_out = raw_out + b
     raw_out = raw_out.astype(jnp.float32)
     if raw_grad is not None:
         raw_grad = raw_grad.astype(jnp.float32)
@@ -1103,7 +1178,7 @@ def search_conv(w, b, cap, policy: OpPolicy,
     if policy.quantizer == "conv_quantile":
         return quantile_conv(np.asarray(w), cap, policy)
     x = jnp.asarray(cap.inputs["x"])                        # S,N,icp
-    raw_out = jnp.asarray(cap.out)                          # S,N,oc
+    raw_out = None if cap.out is None else jnp.asarray(cap.out)  # S,N,oc
     grad = (jnp.asarray(cap.grad)
             if policy.metric == "hessian" else None)
     oc = w.shape[0]

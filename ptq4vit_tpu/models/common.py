@@ -98,19 +98,21 @@ class QuantCtx:
                 return out.astype(x.dtype)
         return gelu(self.linear(name, x, w, b))
 
-    def attention(self, name1, name2, q, k, v, scale):
+    def attention_qkv(self, name1, name2, qkv, heads, scale):
         """Fused int8 attention fast path: softmax(q@kᵀ·scale)@v with both
-        matmul QPs realized in one Pallas kernel (ops/int8_serve.py).
-        Returns None when unavailable — the caller then runs the generic
-        matmul1/softmax/matmul2 sequence (identical semantics)."""
+        matmul QPs realized in one Pallas kernel reading q/v straight from
+        the (B, N, 3d) qkv-linear output (ops/int8_serve.py).  Returns the
+        (B, N, d) context or None when unavailable — the caller then runs
+        the generic matmul1/softmax/matmul2 sequence (identical
+        semantics)."""
         if self.int8 != "fused" or self.capture or self.eps is not None:
             return None
         qp1 = self.qstate.get(name1)
         qp2 = self.qstate.get(name2)
         if qp1 is None or qp2 is None:
             return None
-        from ..ops.int8_serve import fused_attention
-        return fused_attention(q, k, v, qp1, qp2, scale)
+        from ..ops.int8_serve import fused_attention_qkv
+        return fused_attention_qkv(qkv, heads, qp1, qp2, scale)
 
     def conv2d_patch(self, name, x, w, b, patch: int):
         """Quantizable non-overlapping patch-embedding conv (stride ==

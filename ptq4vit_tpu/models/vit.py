@@ -131,16 +131,17 @@ def forward(params: Dict[str, Any], x, cfg: ViTConfig,
         qkv = ctx.linear(f"{p}.attn.qkv", y, blk["attn"]["qkv"]["weight"],
                          blk["attn"]["qkv"]["bias"])
         N = qkv.shape[1]
-        qkv = qkv.reshape(B, N, 3, H, cfg.head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        y = ctx.attention(f"{p}.attn.matmul1", f"{p}.attn.matmul2",
-                          q, k, v, scale)
+        y = ctx.attention_qkv(f"{p}.attn.matmul1", f"{p}.attn.matmul2",
+                              qkv, H, scale)
         if y is None:
+            qkv = qkv.reshape(B, N, 3, H, cfg.head_dim) \
+                .transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
             attn = ctx.matmul(f"{p}.attn.matmul1", q,
                               jnp.swapaxes(k, -2, -1)) * scale
             attn = softmax_f32(attn, axis=-1)
             y = ctx.matmul(f"{p}.attn.matmul2", attn, v)
-        y = y.transpose(0, 2, 1, 3).reshape(B, N, d)
+            y = y.transpose(0, 2, 1, 3).reshape(B, N, d)
         y = ctx.linear(f"{p}.attn.proj", y, blk["attn"]["proj"]["weight"],
                        blk["attn"]["proj"]["bias"])
         x = x + y

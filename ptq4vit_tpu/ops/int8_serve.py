@@ -169,20 +169,12 @@ def q8_linear(x, w_intT, w_scale, b, a_interval, a_neg_interval, *,
 # fused int8 attention: matmul1 -> softmax -> (SoS) quantize -> matmul2
 # ---------------------------------------------------------------------------
 
-def _attn_kernel(ph_ref, misc_ref, q_ref, kt_ref, v_ref, out_ref, *,
-                 heads: int, sos: bool,
-                 A1_qmax: int, B1_qmax: int, A2_qmax: int, B2_qmax: int):
-    g = pl.program_id(0)
-    h = jax.lax.rem(g, heads)
-    a1 = ph_ref[0, h]
-    b1 = ph_ref[1, h]
-    a2 = ph_ref[2, h]
-    b2 = ph_ref[3, h]
-    split = misc_ref[0, 0]
-    scale = misc_ref[0, 1]
-
-    qf = q_ref[0].astype(jnp.float32)
-    ktf = kt_ref[0].astype(jnp.float32)      # (hd, N): sublane contraction
+def _attn_math(qf, ktf, vf, a1, b1, a2, b2, split, scale, *,
+               sos: bool, A1_qmax: int, B1_qmax: int, A2_qmax: int,
+               B2_qmax: int):
+    """Shared per-head attention math: quantize -> q@kᵀ -> softmax ->
+    (SoS) quantize -> @v, all in VMEM.  qf (BM, hd), ktf (hd, N),
+    vf (N, hd) -> (BM, hd) f32."""
     q_int = jnp.clip(jnp.round(qf / a1), -A1_qmax, A1_qmax - 1) \
         .astype(jnp.int8)
     kt_int = jnp.clip(jnp.round(ktf / b1), -B1_qmax, B1_qmax - 1) \
@@ -197,7 +189,6 @@ def _attn_kernel(ph_ref, misc_ref, q_ref, kt_ref, v_ref, out_ref, *,
             pi, vi, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
 
-    vf = v_ref[0].astype(jnp.float32)
     v_int = jnp.clip(jnp.round(vf / b2), -B2_qmax, B2_qmax - 1) \
         .astype(jnp.int8)
     if sos:
@@ -213,7 +204,39 @@ def _attn_kernel(ph_ref, misc_ref, q_ref, kt_ref, v_ref, out_ref, *,
         p_int = jnp.clip(jnp.round(p / a2), -A2_qmax, A2_qmax - 1) \
             .astype(jnp.int8)
         acc = pv_dot(p_int, v_int).astype(jnp.float32) * a2
-    out_ref[0] = (acc * b2).astype(out_ref.dtype)
+    return acc * b2
+
+
+def _attn_kernel(ph_ref, misc_ref, q_ref, kt_ref, v_ref, out_ref, *,
+                 heads: int, **flags):
+    g = pl.program_id(0)
+    h = jax.lax.rem(g, heads)
+    out_ref[0] = _attn_math(
+        q_ref[0].astype(jnp.float32), kt_ref[0].astype(jnp.float32),
+        v_ref[0].astype(jnp.float32),
+        ph_ref[0, h], ph_ref[1, h], ph_ref[2, h], ph_ref[3, h],
+        misc_ref[0, 0], misc_ref[0, 1], **flags).astype(out_ref.dtype)
+
+
+def _attn_kernel_qkv(ph_ref, misc_ref, q_ref, kt_ref, v_ref, out_ref, *,
+                     hd: int, hp_n: int, **flags):
+    # q/v sliced straight out of the (B, N, 3d) qkv buffer; out written
+    # straight into the (B, N, d) layout the proj linear consumes.  Mosaic
+    # needs 128-wide column blocks, so each grid step covers hp_n = 128/hd
+    # heads and slices them apart in VMEM.
+    hp = pl.program_id(1)
+    q2 = q_ref[0].astype(jnp.float32)        # (BM, hp_n*hd)
+    v2 = v_ref[0].astype(jnp.float32)        # (N, hp_n*hd)
+    outs = []
+    for j in range(hp_n):
+        h = hp * hp_n + j
+        outs.append(_attn_math(
+            q2[:, j * hd:(j + 1) * hd],
+            kt_ref[0, j].astype(jnp.float32),
+            v2[:, j * hd:(j + 1) * hd],
+            ph_ref[0, h], ph_ref[1, h], ph_ref[2, h], ph_ref[3, h],
+            misc_ref[0, 0], misc_ref[0, 1], **flags))
+    out_ref[0] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
 
 
 def _head_scalar(interval, heads: int):
@@ -227,14 +250,8 @@ def _head_scalar(interval, heads: int):
     return iv.reshape(heads)
 
 
-def fused_attention(q, k, v, qp1, qp2, scale):
-    """Fused int8 attention for softmax(Q@Kᵀ·scale)@V with per-head operand
-    scales (matmul1) and SoS or per-head (matmul2) post-softmax quantization.
-
-    q, k, v: (B, H, N, hd).  Returns (B, H, N, hd) in q.dtype, or None when
-    the QP layout is out of scope (operand block grids / grouped heads).
-    """
-    B, H, N, hd = q.shape
+def _attn_scope(qp1, qp2, H: int, hd: int):
+    """Common scope checks; returns (ph (4,H), misc-split, sos) or None."""
     if hd % 8 != 0:  # lane padding handles hd < 128; sublane needs 8|hd
         return None
     if qp1.split is not None:
@@ -253,27 +270,53 @@ def fused_attention(q, k, v, qp1, qp2, scale):
     b2 = _head_scalar(qp2.B_interval, H)
     if any(s is None for s in (a1, b1, a2, b2)):
         return None
+    return jnp.stack([a1, b1, a2, b2]), sos
 
+
+def _attn_misc(qp2, sos: bool, scale):
+    return jnp.stack([
+        jnp.asarray(qp2.split if sos else 0.0, jnp.float32).reshape(()),
+        jnp.asarray(scale, jnp.float32).reshape(())]).reshape(1, 2)
+
+
+def _attn_flags(qp1, qp2, sos: bool):
+    return dict(sos=sos, A1_qmax=qp1.A_qmax, B1_qmax=qp1.B_qmax,
+                A2_qmax=qp2.A_qmax, B2_qmax=qp2.B_qmax)
+
+
+def _attn_bm(N: int, hd: int):
+    Np = _round_up(N, 128)
+    BM = _round_up(N, 8)
+    while BM > 64 and BM * Np * 6 + 3 * N * hd * 4 > _VMEM_BUDGET:
+        BM = _round_up(-(-BM // 2), 8)
+    return BM
+
+
+def fused_attention(q, k, v, qp1, qp2, scale):
+    """Fused int8 attention for softmax(Q@Kᵀ·scale)@V with per-head operand
+    scales (matmul1) and SoS or per-head (matmul2) post-softmax quantization.
+
+    q, k, v: (B, H, N, hd).  Returns (B, H, N, hd) in q.dtype, or None when
+    the QP layout is out of scope (operand block grids / grouped heads).
+    """
+    B, H, N, hd = q.shape
+    scoped = _attn_scope(qp1, qp2, H, hd)
+    if scoped is None:
+        return None
+    ph, sos = scoped
     interpret = jax.default_backend() == "cpu"
     G = B * H
     q3 = q.reshape(G, N, hd)
     kt3 = jnp.swapaxes(k, -2, -1).reshape(G, hd, N)
     v3 = v.reshape(G, N, hd)
-    ph = jnp.stack([a1, b1, a2, b2])                       # (4, H)
-    misc = jnp.stack([
-        jnp.asarray(qp2.split if sos else 0.0, jnp.float32).reshape(()),
-        jnp.asarray(scale, jnp.float32).reshape(())]).reshape(1, 2)
+    misc = _attn_misc(qp2, sos, scale)
     # row tile: whole N per head when the logits tile fits (ViT-B/384
     # N=577 -> 1.5 MB f32), else split the query rows
-    Np = _round_up(N, 128)
-    BM = _round_up(N, 8)
-    while BM > 64 and BM * Np * 6 + 3 * N * hd * 4 > _VMEM_BUDGET:
-        BM = _round_up(-(-BM // 2), 8)
+    BM = _attn_bm(N, hd)
     grid = (G, -(-N // BM))
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, heads=H, sos=sos,
-                          A1_qmax=qp1.A_qmax, B1_qmax=qp1.B_qmax,
-                          A2_qmax=qp2.A_qmax, B2_qmax=qp2.B_qmax),
+        functools.partial(_attn_kernel, heads=H,
+                          **_attn_flags(qp1, qp2, sos)),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -295,6 +338,69 @@ def fused_attention(q, k, v, qp1, qp2, scale):
         interpret=interpret,
     )(ph, misc, q3, kt3, v3)
     return out.reshape(B, H, N, hd)
+
+
+def fused_attention_qkv(qkv, heads: int, qp1, qp2, scale):
+    """Layout-free fused attention: reads q/v straight out of the packed
+    (B, N, 3d) qkv-linear output and writes (B, N, d) — no (B,H,N,hd)
+    transpose materializes in HBM (only kᵀ is staged, d/3 of the buffer).
+
+    Returns (B, N, d) in qkv.dtype, or None when out of scope.
+    """
+    B, N, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // heads
+    # column blocks must be 128-wide: bundle hp_n = 128/hd heads per step
+    if hd <= 128:
+        if 128 % hd != 0:
+            return None
+        hp_n = 128 // hd
+    elif hd % 128 == 0:
+        hp_n = 1
+    else:
+        return None
+    if heads % hp_n != 0:
+        return None
+    scoped = _attn_scope(qp1, qp2, heads, hd)
+    if scoped is None:
+        return None
+    ph, sos = scoped
+    interpret = jax.default_backend() == "cpu"
+    kt = jnp.transpose(qkv[:, :, d:2 * d].reshape(B, N, heads, hd),
+                       (0, 2, 3, 1))                       # (B, heads, hd, N)
+    misc = _attn_misc(qp2, sos, scale)
+    BM = _attn_bm(N, hd)
+    bw = hp_n * hd                                          # 128 (or hd)
+    grid = (B, heads // hp_n, -(-N // BM))
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_qkv, hd=hd, hp_n=hp_n,
+                          **_attn_flags(qp1, qp2, sos)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # q rows for this tile: columns [hp*bw, (hp+1)*bw) of qkv
+            pl.BlockSpec((1, BM, bw), lambda b, hp, m: (b, m, hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp_n, hd, N), lambda b, hp, m: (b, hp, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # v: all N rows, columns [2d + hp*bw, ...) -> 2*heads/hp_n + hp
+            # in bw-sized block units
+            pl.BlockSpec((1, N, bw),
+                         lambda b, hp, m, _v0=2 * heads // hp_n:
+                         (b, 0, _v0 + hp),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BM, bw), lambda b, hp, m: (b, m, hp),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, d), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * heads * N * N * hd * (3 if sos else 2),
+            bytes_accessed=2 * B * N * d3 * qkv.dtype.itemsize,
+            transcendentals=B * heads * N * N),
+        interpret=interpret,
+    )(ph, misc, qkv, kt, qkv)
+    return out
 
 
 def fused_linear(x, w, b, qp, pk, epilogue: str = None):

@@ -80,6 +80,38 @@ def test_fused_attention_matches_fake_quant(rng):
                                    atol=2e-5 * np.abs(ref).max())
 
 
+def test_fused_attention_qkv_matches_generic(rng):
+    """The layout-free kernel (q/v read straight from the (B,N,3d) qkv
+    buffer, out written as (B,N,d)) must match the generic fused path."""
+    from ptq4vit_tpu.models.common import softmax_f32
+    from ptq4vit_tpu.ops.int8_serve import fused_attention_qkv
+    from ptq4vit_tpu.quant.qparams import MatMulQP, apply_matmul
+
+    B, H, N, hd = 2, 2, 37, 64
+    d = H * hd
+    qkv = rng.standard_normal((B, N, 3 * d)).astype(np.float32)
+    qkv_r = qkv.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv_r[0], qkv_r[1], qkv_r[2]
+    shape = (1, H, 1, 1, 1, 1, 1)
+    qp1 = MatMulQP(
+        A_interval=jnp.asarray(np.abs(q).max((0, 2, 3)).reshape(shape) / 127.5),
+        B_interval=jnp.asarray(np.abs(k).max((0, 2, 3)).reshape(shape) / 127.5))
+    split = jnp.float32(2.0 ** -4)
+    qp2 = MatMulQP(A_interval=split / 127.0,
+                   B_interval=jnp.asarray(
+                       np.abs(v).max((0, 2, 3)).reshape(shape) / 127.5),
+                   split=split)
+    scale = hd ** -0.5
+    attn = apply_matmul(jnp.asarray(q),
+                        jnp.swapaxes(jnp.asarray(k), -2, -1), qp1) * scale
+    ref = np.asarray(apply_matmul(softmax_f32(attn), jnp.asarray(v), qp2))
+    ref = ref.transpose(0, 2, 1, 3).reshape(B, N, d)
+    got = np.asarray(fused_attention_qkv(jnp.asarray(qkv), H, qp1, qp2,
+                                         scale))
+    np.testing.assert_allclose(got, ref, rtol=1e-5,
+                               atol=2e-5 * np.abs(ref).max())
+
+
 def test_packed_fused_model_forward_matches_int8(rng):
     """End-to-end: pack_weights + int8='fused' on a tiny ViT must match the
     unpacked XLA int8 forward."""

@@ -243,6 +243,33 @@ def test_linear_search_pearson_chunk_parity(rng):
                                ref_a, rtol=1e-6)
 
 
+def test_search_matmul_batch_matches_per_op(rng):
+    """The vmapped same-shape cohort search must reproduce per-op results
+    exactly (the op axis is batched, never reduced over)."""
+    for quantizer in ("matmul", "sos_matmul"):
+        pol = _pol(quantizer=quantizer, metric="hessian", a_bit=8, b_bit=8)
+        caps = []
+        for _ in range(3):
+            A = rng.standard_normal((4, 2, 6, 5)).astype(np.float32)
+            B = rng.standard_normal((4, 2, 5, 7)).astype(np.float32)
+            if quantizer == "sos_matmul":
+                A = np.abs(A) / np.abs(A).max()
+            out = np.einsum("sgrc,sgco->sgro", A, B).astype(np.float32)
+            grad = rng.standard_normal(out.shape).astype(np.float32)
+            caps.append(OpCapture(kind="matmul", inputs={"a": A, "b": B},
+                                  out=out, grad=grad))
+        per_op = [S.search_matmul(c, pol) for c in caps]
+        batched = S.search_matmul_batch(caps, pol)
+        for qp_ref, qp_got in zip(per_op, batched):
+            np.testing.assert_array_equal(np.asarray(qp_ref.A_interval),
+                                          np.asarray(qp_got.A_interval))
+            np.testing.assert_array_equal(np.asarray(qp_ref.B_interval),
+                                          np.asarray(qp_got.B_interval))
+            if quantizer == "sos_matmul":
+                np.testing.assert_array_equal(np.asarray(qp_ref.split),
+                                              np.asarray(qp_got.split))
+
+
 # ---------------------------------------------------------------------------
 # matmul oracle (head-wise groups, n_V=n_H=1)
 # ---------------------------------------------------------------------------
