@@ -56,6 +56,16 @@ def _pallas_default() -> bool:
     return _jax.default_backend() != "cpu"
 
 
+# int8 candidate scoring for the matmul searches: out_sim is computed as an
+# int8xint8->int32 dot rescaled once, instead of an fp32 einsum of the fake
+# values — ~1.6x the MXU rate.  Mathematically equal, but the single fp32
+# rescale rounds differently from per-accumulation fp32 rounding, so exact
+# reference-rounding parity needs it OFF (the default); argmax agreement on
+# the parity fixtures is tested (test_search_parity).
+def _int8_score_default() -> bool:
+    return os.environ.get("PTQ4VIT_TPU_INT8_SCORE") == "1"
+
+
 # ---------------------------------------------------------------------------
 # chunk planning (static)
 # ---------------------------------------------------------------------------
@@ -400,9 +410,9 @@ def search_linear(w, b, cap, policy: OpPolicy,
 # matmul search
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("policy", "P", "bs", "n_G"))
+@partial(jax.jit, static_argnames=("policy", "P", "bs", "n_G", "int8_score"))
 def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
-                       P: int, bs: int, n_G: int):
+                       P: int, bs: int, n_G: int, int8_score: bool = False):
     """Full calibration_step2 of an A@B op (reference matmul.py:565-576).
     Head-wise groups: n_G_A = n_G_B = heads (matmul.py:411-417); the shipped
     configs use n_V=n_H=1 so block grids collapse and no padding occurs.
@@ -467,6 +477,25 @@ def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
             return fq.sos_quant_softmax(a, a_state, A_qmax)
         return fq.fake_quant_matmul_operand(a, a_state, A_qmax)
 
+    def _gview(x, lead=()):
+        """(..., G, R, C) -> (..., n_G, G//n_G, R, C) block view."""
+        sh = x.shape
+        return x.reshape(sh[:-3] + (n_G, G // n_G) + sh[-2:])
+
+    def _cand_levels(x_blocked, cur, qmax):
+        """int8 levels of a (1,bs,n_G,crb,R,C) view under (P,n_G) scales."""
+        return jnp.clip(jnp.round(x_blocked / cur.reshape(P, 1, n_G, 1, 1, 1)),
+                        -qmax, qmax - 1).astype(jnp.int8)
+
+    def _sos_levels(a, split):
+        """SoS hi/lo int8 level sets + their scales (matmul.py:595-598)."""
+        a_int = fq.exact_div(split, A_qmax - 1)
+        hi = jnp.clip(jnp.round(jnp.clip(a, split, 1.0) * (A_qmax - 1)),
+                      0, A_qmax - 1).astype(jnp.int8)
+        lo = jnp.clip(jnp.round(fq.exact_div(jnp.clip(a, 0.0, split), a_int)),
+                      0, A_qmax - 1).astype(jnp.int8)
+        return hi, lo, fq.exact_div(jnp.float32(1.0), A_qmax - 1), a_int
+
     def _sim_reduce(out, r_s, g_s):
         """(P,bs,G,R,Co) -> (P, G) per-head summed similarity
         (matmul.py:510-518)."""
@@ -504,8 +533,19 @@ def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
             _, sims = jax.lax.scan(cand_body, None, splits)
             return sims                                    # (20,)
 
-        B_simb = jax.vmap(lambda b_s: fq.fake_quant_matmul_operand(
-            b_s, B_int, B_qmax))(Bb)
+        if int8_score:
+            # fixed side as int8 levels; candidate side quantized to levels
+            # in-scan; ONE rescale after the int32 dot
+            B_lvb = jax.vmap(lambda b_s: jnp.clip(
+                jnp.round(_gview(b_s)
+                          / B_int.reshape(1, n_G, 1, 1, 1)),
+                -B_qmax, B_qmax - 1).astype(jnp.int8)
+                .reshape(bs, G, Ci, Co))(Bb)
+            b_sc = B_int.reshape(n_G)
+
+        else:
+            B_simb = jax.vmap(lambda b_s: fq.fake_quant_matmul_operand(
+                b_s, B_int, B_qmax))(Bb)
 
         def cand_body(_, ac):                              # P,1,n_G,1,1,1,1,1
             cur = ac                                       # n_V=n_H=1: whole
@@ -513,15 +553,26 @@ def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
                 a_s, b_raw, b_s, r_s, g_s = inp
                 raw = get_raw(a_s, b_raw, r_s)
                 blocked = a_s.reshape(1, bs, n_G, G // n_G, R, Ci)
-                q = jnp.clip(jnp.round(
-                    blocked / cur.reshape(P, 1, n_G, 1, 1, 1)),
-                    -A_qmax, A_qmax - 1) * cur.reshape(P, 1, n_G, 1, 1, 1)
-                A_sim = q.reshape(P, bs, G, R, Ci)
-                out = jnp.einsum("pbgrc,bgco->pbgro", A_sim, b_s,
-                                 preferred_element_type=jnp.float32)
+                if int8_score:
+                    a_lv = _cand_levels(blocked, cur, A_qmax) \
+                        .reshape(P, bs, G, R, Ci)
+                    acc32 = jnp.einsum("pbgrc,bgco->pbgro", a_lv, b_s,
+                                       preferred_element_type=jnp.int32)
+                    out = (_gview(acc32.astype(jnp.float32))
+                           * cur.reshape(P, 1, n_G, 1, 1, 1)
+                           * b_sc.reshape(1, 1, n_G, 1, 1, 1)) \
+                        .reshape(P, bs, G, R, Co)
+                else:
+                    q = jnp.clip(jnp.round(
+                        blocked / cur.reshape(P, 1, n_G, 1, 1, 1)),
+                        -A_qmax, A_qmax - 1) * cur.reshape(P, 1, n_G, 1, 1, 1)
+                    A_sim = q.reshape(P, bs, G, R, Ci)
+                    out = jnp.einsum("pbgrc,bgco->pbgro", A_sim, b_s,
+                                     preferred_element_type=jnp.float32)
                 return acc + _sim_reduce(out, raw, g_s), None
             s, _ = jax.lax.scan(batch_body, jnp.zeros((P, G)),
-                                (Ab, Bb, B_simb, rb, gb))
+                                (Ab, Bb, B_lvb if int8_score else B_simb,
+                                 rb, gb))
             return None, s
         _, sims = jax.lax.scan(cand_body, None, A_cands_c)
         sims = sims.reshape(-1, G)[:eq_n]
@@ -530,7 +581,23 @@ def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
     def score_B(a_state, B_int):
         """(eq_n, n_G) summed sims of B-interval candidates
         (matmul.py:524-563)."""
-        A_simb = jax.vmap(lambda a_s: quant_A(a_s, a_state))(Ab)
+        if int8_score:
+            # fixed A side as int8 levels (two level sets for SoS)
+            if sos:
+                packs = jax.vmap(lambda a_s: _sos_levels(a_s, a_state)[:2])(Ab)
+                s_hi = fq.exact_div(jnp.float32(1.0), A_qmax - 1)
+                s_lo = fq.exact_div(a_state, A_qmax - 1)
+                A_lvb = jnp.stack(packs, axis=1)           # nb,2,bs,G,R,Ci
+                a_sc = None
+            else:
+                A_lvb = jax.vmap(lambda a_s: jnp.clip(
+                    jnp.round(_gview(a_s)
+                              / a_state.reshape(1, n_G, 1, 1, 1)),
+                    -A_qmax, A_qmax - 1).astype(jnp.int8)
+                    .reshape(1, bs, G, R, Ci))(Ab)          # nb,1,bs,G,R,Ci
+                a_sc = a_state.reshape(n_G)
+        else:
+            A_simb = jax.vmap(lambda a_s: quant_A(a_s, a_state))(Ab)
 
         def cand_body(_, bc):
             cur = bc
@@ -538,15 +605,37 @@ def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
                 a_raw, a_s, b_s, r_s, g_s = inp
                 raw = get_raw(a_raw, b_s, r_s)
                 blocked = b_s.reshape(1, bs, n_G, G // n_G, Ci, Co)
-                q = jnp.clip(jnp.round(
-                    blocked / cur.reshape(P, 1, n_G, 1, 1, 1)),
-                    -B_qmax, B_qmax - 1) * cur.reshape(P, 1, n_G, 1, 1, 1)
-                B_sim = q.reshape(P, bs, G, Ci, Co)
-                out = jnp.einsum("bgrc,pbgco->pbgro", a_s, B_sim,
-                                 preferred_element_type=jnp.float32)
+                if int8_score:
+                    b_lv = _cand_levels(blocked, cur, B_qmax) \
+                        .reshape(P, bs, G, Ci, Co)
+                    if sos:
+                        hi32 = jnp.einsum("bgrc,pbgco->pbgro", a_s[0], b_lv,
+                                          preferred_element_type=jnp.int32)
+                        lo32 = jnp.einsum("bgrc,pbgco->pbgro", a_s[1], b_lv,
+                                          preferred_element_type=jnp.int32)
+                        acc32 = (hi32.astype(jnp.float32) * s_hi
+                                 + lo32.astype(jnp.float32) * s_lo)
+                        out = (_gview(acc32)
+                               * cur.reshape(P, 1, n_G, 1, 1, 1)) \
+                            .reshape(P, bs, G, R, Co)
+                    else:
+                        acc32 = jnp.einsum("bgrc,pbgco->pbgro", a_s[0], b_lv,
+                                           preferred_element_type=jnp.int32)
+                        out = (_gview(acc32.astype(jnp.float32))
+                               * cur.reshape(P, 1, n_G, 1, 1, 1)
+                               * a_sc.reshape(1, 1, n_G, 1, 1, 1)) \
+                            .reshape(P, bs, G, R, Co)
+                else:
+                    q = jnp.clip(jnp.round(
+                        blocked / cur.reshape(P, 1, n_G, 1, 1, 1)),
+                        -B_qmax, B_qmax - 1) * cur.reshape(P, 1, n_G, 1, 1, 1)
+                    B_sim = q.reshape(P, bs, G, Ci, Co)
+                    out = jnp.einsum("bgrc,pbgco->pbgro", a_s, B_sim,
+                                     preferred_element_type=jnp.float32)
                 return acc + _sim_reduce(out, raw, g_s), None
             s, _ = jax.lax.scan(batch_body, jnp.zeros((P, G)),
-                                (Ab, A_simb, Bb, rb, gb))
+                                (Ab, A_lvb if int8_score else A_simb,
+                                 Bb, rb, gb))
             return None, s
         _, sims = jax.lax.scan(cand_body, None, B_cands_c)
         sims = sims.reshape(-1, G)[:eq_n]
@@ -786,7 +875,8 @@ def search_matmul(cap, policy: OpPolicy,
             A, B, raw_out, grad, policy, P, bs, n_G_A, n_G_B)
     else:
         a_state, B_int = _matmul_search_jit(
-            A, B, raw_out, grad, policy, P, bs, G)
+            A, B, raw_out, grad, policy, P, bs, G,
+            int8_score=_int8_score_default())
     A_qmax = fq.qmax_for_bit(policy.a_bit)
     if sos:
         return MatMulQP(A_interval=a_state / (A_qmax - 1), B_interval=B_int,
@@ -827,7 +917,8 @@ def search_matmul_batch(caps, policy: OpPolicy,
     def one(a, b, r, g):
         return _matmul_search_jit(a, b, r if have_raw else None,
                                   g if have_grad else None,
-                                  policy, P, bs, G)
+                                  policy, P, bs, G,
+                                  int8_score=_int8_score_default())
 
     a_states, B_ints = jax.vmap(one)(A, B, raw, grad)
     A_qmax = fq.qmax_for_bit(policy.a_bit)

@@ -98,6 +98,24 @@ class QuantCtx:
                 return out.astype(x.dtype)
         return gelu(self.linear(name, x, w, b))
 
+    def vit_block(self, prefix, x, blk, heads, scale, ln_eps):
+        """Whole-block fused serving fast path (ops/int8_serve.py
+        fused_vit_block): LN fused into the linear prologues, intermediate
+        activations handed between kernels as int8.  Returns the new
+        residual stream or None (caller runs the generic per-op path)."""
+        if self.int8 != "fused" or self.capture or self.eps is not None:
+            return None
+        keys = {"qkv": f"{prefix}.attn.qkv",
+                "matmul1": f"{prefix}.attn.matmul1",
+                "matmul2": f"{prefix}.attn.matmul2",
+                "proj": f"{prefix}.attn.proj",
+                "fc1": f"{prefix}.mlp.fc1",
+                "fc2": f"{prefix}.mlp.fc2"}
+        qps = {k: self.qstate.get(n) for k, n in keys.items()}
+        pks = {k: self.packed.get(n) or {} for k, n in keys.items()}
+        from ..ops.int8_serve import fused_vit_block
+        return fused_vit_block(x, blk, qps, pks, heads, scale, ln_eps)
+
     def attention_qkv(self, name1, name2, qkv, heads, scale):
         """Fused int8 attention fast path: softmax(q@kᵀ·scale)@v with both
         matmul QPs realized in one Pallas kernel reading q/v straight from

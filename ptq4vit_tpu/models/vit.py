@@ -126,6 +126,10 @@ def forward(params: Dict[str, Any], x, cfg: ViTConfig,
 
     for i, blk in enumerate(params["blocks"]):
         p = f"blocks.{i}"
+        xb = ctx.vit_block(p, x, blk, H, scale, cfg.ln_eps)
+        if xb is not None:
+            x = xb
+            continue
         # --- attention (reference attention_forward, utils/models.py:10-26)
         y = layer_norm(x, blk["norm1"]["weight"], blk["norm1"]["bias"], cfg.ln_eps)
         qkv = ctx.linear(f"{p}.attn.qkv", y, blk["attn"]["qkv"]["weight"],

@@ -1,5 +1,5 @@
 """Pallas fused int8 serving kernels: quantize -> int8 MXU matmul -> rescale
-in one VMEM-resident pass.
+in one VMEM-resident pass, with int8 layer-to-layer handoffs.
 
 The XLA int8 path (ops/int8.py) is numerically exact but materializes every
 quantized operand through HBM: a linear costs read(x) + write(x_int8) +
@@ -7,17 +7,32 @@ read(x_int8) elementwise traffic before the matmul even starts, and the twin
 post-GELU layers pay it twice (pos + neg level sets).  At ViT-B/384 bs=32
 that overhead is ~40% of the step (BENCH_NOTES.md).  These kernels quantize
 the activation tile in VMEM, feed the MXU int8 ports directly, and apply the
-per-out-channel dequant scale + bias in the epilogue — activations cross HBM
-exactly once, in the serving dtype.
+per-out-channel dequant scale + bias in the epilogue.
+
+Fusion modes (composed by :func:`fused_vit_block` into a full transformer
+block whose intermediate activations cross HBM as int8, once):
+
+  * prologue ``ln``: LayerNorm (fp32 statistics, models/common.py
+    layer_norm) computed on the raw residual row before quantization;
+  * input modes: float (quantize in-kernel), ``q8`` (pre-quantized int8 +
+    scalar scale), ``q8twin`` (post-GELU twin levels packed into ONE int8 —
+    pos and neg have disjoint support, so pos+neg is losslessly split back
+    with max/min);
+  * epilogues: erf-GELU (A&S 7.1.26 polynomial — Mosaic has no erf), and
+    re-quantization of the output for the NEXT op: per-column scale vector
+    (the qkv -> attention handoff, scales vary per head/section) or twin
+    packing (the fc1 -> fc2 handoff).
 
 Semantics are the fake-quant formulas of the reference
-(hahnyuan/PTQ4ViT quant_layers/linear.py:62-67, :601-607): the int32
-accumulation realizes them exactly, like ops/int8.py, so outputs match the
-XLA int8 path up to fp32 rescale rounding.
+(hahnyuan/PTQ4ViT quant_layers/linear.py:62-67, :601-607,
+matmul.py:595-598): int32 accumulation realizes them exactly, like
+ops/int8.py, so outputs match the XLA int8 path up to fp32 rescale rounding
+(and quantization-boundary level flips where two fp-equal formulations
+round an ulp apart).
 
 Scope (= everything the shipped configs produce): LinearQP with n_H == 1,
-n_a == 1, a_bit < 32, K and weights padded-friendly (K % 128 == 0).  Other
-layouts fall back to the XLA path via ``q8_linear(...) -> None``.
+n_a == 1, a_bit == 8, matmul QPs with per-head scales.  Anything else falls
+back to the XLA path via ``... -> None``.
 """
 from __future__ import annotations
 
@@ -31,35 +46,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
-
-
-# ---------------------------------------------------------------------------
-# fused quantized linear
-# ---------------------------------------------------------------------------
-
-def _linear_kernel(scal_ref, x_ref, w_ref, ws_ref, b_ref, out_ref, *,
-                   a_qmax: int, postgelu: bool, epilogue: str = None):
-    x = x_ref[:].astype(jnp.float32)
-    if postgelu:
-        # twin-uniform post-GELU input: searched positive interval +
-        # fixed negative interval (reference linear.py:601-607)
-        a_pos = scal_ref[0, 0]
-        a_neg = scal_ref[0, 1]
-        pos = jnp.clip(jnp.round(x / a_pos), 0, a_qmax - 1).astype(jnp.int8)
-        neg = jnp.clip(jnp.round(x / a_neg), -a_qmax, 0).astype(jnp.int8)
-        acc = (_dot_i8(pos, w_ref[:]).astype(jnp.float32) * a_pos
-               + _dot_i8(neg, w_ref[:]).astype(jnp.float32) * a_neg)
-    else:
-        a = scal_ref[0, 0]
-        xq = jnp.clip(jnp.round(x / a), -a_qmax, a_qmax - 1).astype(jnp.int8)
-        acc = _dot_i8(xq, w_ref[:]).astype(jnp.float32) * a
-    out = acc * ws_ref[0, :][None, :] + b_ref[0, :][None, :]
-    if epilogue == "gelu":
-        # erf-GELU fused so the pre-activation never crosses HBM; Mosaic has
-        # no erf primitive, so use Abramowitz-Stegun 7.1.26 (|err| <= 1.5e-7
-        # absolute — far inside the int8 path's rescale tolerance)
-        out = 0.5 * out * (1.0 + _erf_as(out * (2.0 ** -0.5)))
-    out_ref[:] = out.astype(out_ref.dtype)
 
 
 def _erf_as(z):
@@ -86,6 +72,64 @@ _VMEM_BUDGET = 10 * 2 ** 20
 _W_SLAB_MAX = 4 * 2 ** 20
 
 
+# ---------------------------------------------------------------------------
+# fused quantized linear
+# ---------------------------------------------------------------------------
+
+def _linear_kernel(scal_ref, lnw_ref, lnb_ref, x_ref, w_ref, ws_ref, b_ref,
+                   osc_ref, out_ref, *, a_qmax: int, out_qmax: int,
+                   in_mode: str, ln: bool, gelu: bool, out_q: str):
+    a = scal_ref[0, 0]
+    a_neg = scal_ref[0, 1]
+    if in_mode in ("f", "f_twin"):
+        x = x_ref[:].astype(jnp.float32)
+        if ln:
+            # fp32-statistics LayerNorm on the raw residual row
+            # (models/common.py layer_norm) — the normalized activation
+            # never crosses HBM
+            mu = jnp.mean(x, axis=1, keepdims=True)
+            var = jnp.mean(jnp.square(x - mu), axis=1, keepdims=True)
+            x = ((x - mu) * jax.lax.rsqrt(var + scal_ref[0, 2])
+                 * lnw_ref[0, :][None, :] + lnb_ref[0, :][None, :])
+        if in_mode == "f_twin":
+            # twin-uniform post-GELU input (reference linear.py:601-607)
+            pos = jnp.clip(jnp.round(x / a), 0, a_qmax - 1).astype(jnp.int8)
+            neg = jnp.clip(jnp.round(x / a_neg), -a_qmax, 0).astype(jnp.int8)
+        else:
+            xq = jnp.clip(jnp.round(x / a), -a_qmax, a_qmax - 1) \
+                .astype(jnp.int8)
+    elif in_mode == "q8":
+        xq = x_ref[:]
+    else:  # q8twin: packed pos+neg (disjoint support); Mosaic has no i8
+        # max/min, so split via i32
+        c = x_ref[:].astype(jnp.int32)
+        pos = jnp.maximum(c, 0).astype(jnp.int8)
+        neg = jnp.minimum(c, 0).astype(jnp.int8)
+    if in_mode in ("f_twin", "q8twin"):
+        acc = (_dot_i8(pos, w_ref[:]).astype(jnp.float32) * a
+               + _dot_i8(neg, w_ref[:]).astype(jnp.float32) * a_neg)
+    else:
+        acc = _dot_i8(xq, w_ref[:]).astype(jnp.float32) * a
+    out = acc * ws_ref[0, :][None, :] + b_ref[0, :][None, :]
+    if gelu:
+        # erf-GELU fused so the pre-activation never crosses HBM
+        out = 0.5 * out * (1.0 + _erf_as(out * (2.0 ** -0.5)))
+    if out_q == "vec":
+        # per-column requant for the next op (qkv -> attention handoff)
+        osc = osc_ref[0, :][None, :]
+        out_ref[:] = jnp.clip(jnp.round(out / osc), -out_qmax, out_qmax - 1) \
+            .astype(jnp.int8)
+    elif out_q == "twin":
+        # twin-pack for the next post-GELU linear (fc1 -> fc2 handoff)
+        o_pos = scal_ref[0, 3]
+        o_neg = scal_ref[0, 4]
+        p = jnp.clip(jnp.round(out / o_pos), 0, out_qmax - 1)
+        n = jnp.clip(jnp.round(out / o_neg), -out_qmax, 0)
+        out_ref[:] = (p + n).astype(jnp.int8)
+    else:
+        out_ref[:] = out.astype(out_ref.dtype)
+
+
 def _linear_tiles(M: int, K: int, N: int, x_bytes: int):
     # weight column slab: whole N when it fits (every ViT/Swin layer does) —
     # the slab then stays VMEM-resident across all M tiles and each x tile
@@ -101,17 +145,25 @@ def _linear_tiles(M: int, K: int, N: int, x_bytes: int):
 
 def q8_linear(x, w_intT, w_scale, b, a_interval, a_neg_interval, *,
               a_qmax: int, postgelu: bool, epilogue: str = None,
-              interpret: bool = None):
+              ln=None, in_q: str = None, out_q: str = None,
+              out_scale=None, out_qmax: int = 128,
+              float_dtype=None, interpret: bool = None):
     """Fused quantize->int8 matmul->rescale linear.
 
-    x:        (..., K) fp32/bf16 activations
+    x:        (..., K) fp32/bf16 activations, or int8 when ``in_q`` is set
     w_intT:   (K, N) int8 weight levels, transposed (ops/pack.pack_weights)
     w_scale:  (N,) fp32 per-out-channel dequant scale
     b:        (N,) bias or None
     a_interval / a_neg_interval: scalar activation interval(s)
-
-    Returns (..., N) in x.dtype, or None when the layout is out of scope
-    (caller falls back to the XLA int8 path).
+    ln:       optional (weight (K,), bias (K,), eps) LayerNorm prologue
+    in_q:     None | "q8" | "q8twin" — x is pre-quantized (scales still
+              given by a_interval/a_neg_interval)
+    epilogue: None | "gelu"
+    out_q:    None | "vec" | "twin" — re-quantize the output for the next
+              op; "vec" takes out_scale (N,) per-column, "twin" takes
+              out_scale = (pos_interval, neg_interval)
+    Returns (..., N) in x.dtype (int8 when out_q), or None when the layout
+    is out of scope (caller falls back to the XLA int8 path).
     """
     K, N = w_intT.shape
     if K % 128 != 0:
@@ -126,23 +178,41 @@ def q8_linear(x, w_intT, w_scale, b, a_interval, a_neg_interval, *,
     BM, BN = _linear_tiles(M, K, N, x2.dtype.itemsize)
     if BM * K * (x2.dtype.itemsize + 5) + BN * K > 2 * _VMEM_BUDGET:
         return None  # K too large for a single-slab kernel
+    in_mode = in_q if in_q else ("f_twin" if postgelu else "f")
+    o_pos, o_neg = (out_scale if out_q == "twin" else (0.0, 1.0))
     scal = jnp.stack([
         jnp.asarray(a_interval, jnp.float32).reshape(()),
         (jnp.asarray(a_neg_interval, jnp.float32).reshape(())
          if a_neg_interval is not None else jnp.float32(1.0)),
-    ]).reshape(1, 2)
+        jnp.asarray(ln[2] if ln else 0.0, jnp.float32).reshape(()),
+        jnp.asarray(o_pos, jnp.float32).reshape(()),
+        jnp.asarray(o_neg, jnp.float32).reshape(()),
+    ]).reshape(1, 5)
+    lnw = (ln[0].astype(jnp.float32) if ln
+           else jnp.ones((K,), jnp.float32)).reshape(1, K)
+    lnb = (ln[1].astype(jnp.float32) if ln
+           else jnp.zeros((K,), jnp.float32)).reshape(1, K)
     ws2 = w_scale.astype(jnp.float32).reshape(1, N)
     b2 = (b.astype(jnp.float32) if b is not None
           else jnp.zeros((N,), jnp.float32)).reshape(1, N)
+    osc = (out_scale.astype(jnp.float32) if out_q == "vec"
+           else jnp.ones((N,), jnp.float32)).reshape(1, N)
+    out_dtype = jnp.int8 if out_q else (float_dtype or x.dtype)
     # n outermost, m fastest: the weight slab block index is constant across
     # the m sweep, so Mosaic keeps it VMEM-resident
     grid = (-(-N // BN), -(-M // BM))
+    twin = in_mode in ("f_twin", "q8twin")
     out = pl.pallas_call(
-        functools.partial(_linear_kernel, a_qmax=a_qmax, postgelu=postgelu,
-                          epilogue=epilogue),
+        functools.partial(_linear_kernel, a_qmax=a_qmax, out_qmax=out_qmax,
+                          in_mode=in_mode, ln=ln is not None,
+                          gelu=epilogue == "gelu", out_q=out_q),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K), lambda n, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K), lambda n, m: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((BM, K), lambda n, m: (m, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, BN), lambda n, m: (0, n),
@@ -151,17 +221,19 @@ def q8_linear(x, w_intT, w_scale, b, a_interval, a_neg_interval, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BN), lambda n, m: (0, n),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN), lambda n, m: (0, n),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BM, BN), lambda n, m: (m, n),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * M * N * K * (2 if postgelu else 1),
+            flops=2 * M * N * K * (2 if twin else 1),
             bytes_accessed=M * K * x2.dtype.itemsize + N * K
-            + M * N * x2.dtype.itemsize,
-            transcendentals=0),
+            + M * N * (1 if out_q else x2.dtype.itemsize),
+            transcendentals=M * N if epilogue == "gelu" else 0),
         interpret=interpret,
-    )(scal, x2, w_intT, ws2, b2)
+    )(scal, lnw, lnb, x2, w_intT, ws2, b2, osc)
     return out.reshape(lead + (N,))
 
 
@@ -169,16 +241,21 @@ def q8_linear(x, w_intT, w_scale, b, a_interval, a_neg_interval, *,
 # fused int8 attention: matmul1 -> softmax -> (SoS) quantize -> matmul2
 # ---------------------------------------------------------------------------
 
-def _attn_math(qf, ktf, vf, a1, b1, a2, b2, split, scale, *,
-               sos: bool, A1_qmax: int, B1_qmax: int, A2_qmax: int,
-               B2_qmax: int):
+def _attn_math(q_in, kt_in, v_in, a1, b1, a2, b2, split, scale, a_out, *,
+               sos: bool, in_q8: bool, out_q8: bool,
+               A1_qmax: int, B1_qmax: int, A2_qmax: int, B2_qmax: int):
     """Shared per-head attention math: quantize -> q@kᵀ -> softmax ->
-    (SoS) quantize -> @v, all in VMEM.  qf (BM, hd), ktf (hd, N),
-    vf (N, hd) -> (BM, hd) f32."""
-    q_int = jnp.clip(jnp.round(qf / a1), -A1_qmax, A1_qmax - 1) \
-        .astype(jnp.int8)
-    kt_int = jnp.clip(jnp.round(ktf / b1), -B1_qmax, B1_qmax - 1) \
-        .astype(jnp.int8)
+    (SoS) quantize -> @v, all in VMEM.  q_in (BM, hd), kt_in (hd, N),
+    v_in (N, hd) -> (BM, hd); f32, or int8 when ``out_q8``."""
+    if in_q8:
+        q_int, kt_int, v_int = q_in, kt_in, v_in
+    else:
+        q_int = jnp.clip(jnp.round(q_in / a1), -A1_qmax, A1_qmax - 1) \
+            .astype(jnp.int8)
+        kt_int = jnp.clip(jnp.round(kt_in / b1), -B1_qmax, B1_qmax - 1) \
+            .astype(jnp.int8)
+        v_int = jnp.clip(jnp.round(v_in / b2), -B2_qmax, B2_qmax - 1) \
+            .astype(jnp.int8)
     logits = _dot_i8(q_int, kt_int).astype(jnp.float32) * (a1 * b1 * scale)
     p = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
     p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -189,8 +266,6 @@ def _attn_math(qf, ktf, vf, a1, b1, a2, b2, split, scale, *,
             pi, vi, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
 
-    v_int = jnp.clip(jnp.round(vf / b2), -B2_qmax, B2_qmax - 1) \
-        .astype(jnp.int8)
     if sos:
         # split-of-softmax twin ranges (reference matmul.py:595-598)
         a_int = split / (A2_qmax - 1)
@@ -204,7 +279,11 @@ def _attn_math(qf, ktf, vf, a1, b1, a2, b2, split, scale, *,
         p_int = jnp.clip(jnp.round(p / a2), -A2_qmax, A2_qmax - 1) \
             .astype(jnp.int8)
         acc = pv_dot(p_int, v_int).astype(jnp.float32) * a2
-    return acc * b2
+    out = acc * b2
+    if out_q8:
+        # re-quantize for the proj linear's int8 input
+        return jnp.clip(jnp.round(out / a_out), -128, 127).astype(jnp.int8)
+    return out
 
 
 def _attn_kernel(ph_ref, misc_ref, q_ref, kt_ref, v_ref, out_ref, *,
@@ -215,27 +294,28 @@ def _attn_kernel(ph_ref, misc_ref, q_ref, kt_ref, v_ref, out_ref, *,
         q_ref[0].astype(jnp.float32), kt_ref[0].astype(jnp.float32),
         v_ref[0].astype(jnp.float32),
         ph_ref[0, h], ph_ref[1, h], ph_ref[2, h], ph_ref[3, h],
-        misc_ref[0, 0], misc_ref[0, 1], **flags).astype(out_ref.dtype)
+        misc_ref[0, 0], misc_ref[0, 1], misc_ref[0, 2],
+        in_q8=False, **flags).astype(out_ref.dtype)
 
 
 def _attn_kernel_qkv(ph_ref, misc_ref, q_ref, kt_ref, v_ref, out_ref, *,
-                     hd: int, hp_n: int, **flags):
+                     hd: int, hp_n: int, in_q8: bool, **flags):
     # q/v sliced straight out of the (B, N, 3d) qkv buffer; out written
     # straight into the (B, N, d) layout the proj linear consumes.  Mosaic
     # needs 128-wide column blocks, so each grid step covers hp_n = 128/hd
     # heads and slices them apart in VMEM.
     hp = pl.program_id(1)
-    q2 = q_ref[0].astype(jnp.float32)        # (BM, hp_n*hd)
-    v2 = v_ref[0].astype(jnp.float32)        # (N, hp_n*hd)
+    q2 = q_ref[0] if in_q8 else q_ref[0].astype(jnp.float32)
+    v2 = v_ref[0] if in_q8 else v_ref[0].astype(jnp.float32)
     outs = []
     for j in range(hp_n):
         h = hp * hp_n + j
+        kt = kt_ref[0, j] if in_q8 else kt_ref[0, j].astype(jnp.float32)
         outs.append(_attn_math(
-            q2[:, j * hd:(j + 1) * hd],
-            kt_ref[0, j].astype(jnp.float32),
-            v2[:, j * hd:(j + 1) * hd],
+            q2[:, j * hd:(j + 1) * hd], kt, v2[:, j * hd:(j + 1) * hd],
             ph_ref[0, h], ph_ref[1, h], ph_ref[2, h], ph_ref[3, h],
-            misc_ref[0, 0], misc_ref[0, 1], **flags))
+            misc_ref[0, 0], misc_ref[0, 1], misc_ref[0, 2],
+            in_q8=in_q8, **flags))
     out_ref[0] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
 
 
@@ -251,7 +331,7 @@ def _head_scalar(interval, heads: int):
 
 
 def _attn_scope(qp1, qp2, H: int, hd: int):
-    """Common scope checks; returns (ph (4,H), misc-split, sos) or None."""
+    """Common scope checks; returns (ph (4,H), sos) or None."""
     if hd % 8 != 0:  # lane padding handles hd < 128; sublane needs 8|hd
         return None
     if qp1.split is not None:
@@ -273,10 +353,12 @@ def _attn_scope(qp1, qp2, H: int, hd: int):
     return jnp.stack([a1, b1, a2, b2]), sos
 
 
-def _attn_misc(qp2, sos: bool, scale):
+def _attn_misc(qp2, sos: bool, scale, a_out=None):
     return jnp.stack([
         jnp.asarray(qp2.split if sos else 0.0, jnp.float32).reshape(()),
-        jnp.asarray(scale, jnp.float32).reshape(())]).reshape(1, 2)
+        jnp.asarray(scale, jnp.float32).reshape(()),
+        jnp.asarray(a_out if a_out is not None else 1.0,
+                    jnp.float32).reshape(())]).reshape(1, 3)
 
 
 def _attn_flags(qp1, qp2, sos: bool):
@@ -315,7 +397,7 @@ def fused_attention(q, k, v, qp1, qp2, scale):
     BM = _attn_bm(N, hd)
     grid = (G, -(-N // BM))
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, heads=H,
+        functools.partial(_attn_kernel, heads=H, out_q8=False,
                           **_attn_flags(qp1, qp2, sos)),
         grid=grid,
         in_specs=[
@@ -340,17 +422,8 @@ def fused_attention(q, k, v, qp1, qp2, scale):
     return out.reshape(B, H, N, hd)
 
 
-def fused_attention_qkv(qkv, heads: int, qp1, qp2, scale):
-    """Layout-free fused attention: reads q/v straight out of the packed
-    (B, N, 3d) qkv-linear output and writes (B, N, d) — no (B,H,N,hd)
-    transpose materializes in HBM (only kᵀ is staged, d/3 of the buffer).
-
-    Returns (B, N, d) in qkv.dtype, or None when out of scope.
-    """
-    B, N, d3 = qkv.shape
-    d = d3 // 3
-    hd = d // heads
-    # column blocks must be 128-wide: bundle hp_n = 128/hd heads per step
+def _qkv_hp(heads: int, hd: int):
+    """Heads-per-step so column blocks are 128-wide; None if impossible."""
     if hd <= 128:
         if 128 % hd != 0:
             return None
@@ -359,7 +432,28 @@ def fused_attention_qkv(qkv, heads: int, qp1, qp2, scale):
         hp_n = 1
     else:
         return None
-    if heads % hp_n != 0:
+    return hp_n if heads % hp_n == 0 else None
+
+
+def fused_attention_qkv(qkv, heads: int, qp1, qp2, scale, *,
+                        in_q8: bool = False, out_scale=None):
+    """Layout-free fused attention: reads q/v straight out of the packed
+    (B, N, 3d) qkv-linear output and writes (B, N, d) — no (B,H,N,hd)
+    transpose materializes in HBM (only kᵀ is staged, d/3 of the buffer).
+
+    in_q8: qkv is already int8 (quantized per-column by the qkv linear's
+    ``out_q="vec"`` epilogue with exactly the a1/b1/b2 head scales).
+    out_scale: when given, the context is re-quantized by this scalar and
+    returned int8 (the proj linear's input scale).
+
+    Returns (B, N, d) in qkv.dtype (int8 when out_scale), or None when out
+    of scope.
+    """
+    B, N, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // heads
+    hp_n = _qkv_hp(heads, hd)
+    if hp_n is None:
         return None
     scoped = _attn_scope(qp1, qp2, heads, hd)
     if scoped is None:
@@ -368,12 +462,14 @@ def fused_attention_qkv(qkv, heads: int, qp1, qp2, scale):
     interpret = jax.default_backend() == "cpu"
     kt = jnp.transpose(qkv[:, :, d:2 * d].reshape(B, N, heads, hd),
                        (0, 2, 3, 1))                       # (B, heads, hd, N)
-    misc = _attn_misc(qp2, sos, scale)
+    misc = _attn_misc(qp2, sos, scale, out_scale)
     BM = _attn_bm(N, hd)
     bw = hp_n * hd                                          # 128 (or hd)
+    out_dtype = jnp.int8 if out_scale is not None else qkv.dtype
     grid = (B, heads // hp_n, -(-N // BM))
     out = pl.pallas_call(
-        functools.partial(_attn_kernel_qkv, hd=hd, hp_n=hp_n,
+        functools.partial(_attn_kernel_qkv, hd=hd, hp_n=hp_n, in_q8=in_q8,
+                          out_q8=out_scale is not None,
                           **_attn_flags(qp1, qp2, sos)),
         grid=grid,
         in_specs=[
@@ -393,7 +489,7 @@ def fused_attention_qkv(qkv, heads: int, qp1, qp2, scale):
         ],
         out_specs=pl.BlockSpec((1, BM, bw), lambda b, hp, m: (b, m, hp),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, d), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, N, d), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * heads * N * N * hd * (3 if sos else 2),
             bytes_accessed=2 * B * N * d3 * qkv.dtype.itemsize,
@@ -403,16 +499,22 @@ def fused_attention_qkv(qkv, heads: int, qp1, qp2, scale):
     return out
 
 
-def fused_linear(x, w, b, qp, pk, epilogue: str = None):
-    """Dispatch a LinearQP through the fused kernel when its layout is in
-    scope; returns None to fall back to the XLA int8 path."""
+# ---------------------------------------------------------------------------
+# dispatch helpers
+# ---------------------------------------------------------------------------
+
+def _linear_scope(qp):
     n_V, _, n_H, _ = qp.w_interval.shape
-    if (n_H != 1 or qp.a_interval.shape[0] != 1 or qp.a_bit >= 32
-            or qp.a_bit > 8 or qp.w_bit > 8):
-        return None
+    return not (n_H != 1 or qp.a_interval.shape[0] != 1 or qp.a_bit >= 32
+                or qp.a_bit > 8 or qp.w_bit > 8)
+
+
+def _packed_or_compute(w, qp, pk):
+    """(w_intT, w_scale) from the packed dict, else on the fly."""
     w_intT, w_scale = pk.get("w_intT"), pk.get("w_scale")
     if w_intT is None or w_scale is None:
         from ..quant import fakequant as fq
+        n_V = qp.w_interval.shape[0]
         oc, ic = w.shape
         w4 = w.astype(jnp.float32).reshape(n_V, oc // n_V, ic)
         w_intT = fq.int_quant(w4, qp.w_interval[:, :, 0], qp.w_qmax) \
@@ -420,7 +522,115 @@ def fused_linear(x, w, b, qp, pk, epilogue: str = None):
         w_scale = jnp.broadcast_to(
             qp.w_interval[:, :, 0, 0].astype(jnp.float32),
             (n_V, oc // n_V)).reshape(oc)
+    return w_intT, w_scale
+
+
+def fused_linear(x, w, b, qp, pk, epilogue: str = None):
+    """Dispatch a LinearQP through the fused kernel when its layout is in
+    scope; returns None to fall back to the XLA int8 path."""
+    if not _linear_scope(qp):
+        return None
+    w_intT, w_scale = _packed_or_compute(w, qp, pk)
     return q8_linear(x, w_intT, w_scale, b,
                      qp.a_interval[0, 0], qp.a_neg_interval,
                      a_qmax=qp.a_qmax, postgelu=qp.postgelu,
                      epilogue=epilogue)
+
+
+# ---------------------------------------------------------------------------
+# whole-block fusion: intermediate activations cross HBM as int8, once
+# ---------------------------------------------------------------------------
+
+def fused_vit_block(x, blk, qps, pks, heads: int, scale, ln_eps):
+    """One pre-norm transformer block (LN -> qkv -> attention -> proj ->
+    residual -> LN -> fc1/GELU -> fc2 -> residual) with int8 handoffs:
+
+      * LN1/LN2 fused into the qkv/fc1 kernels' prologue;
+      * qkv output emitted int8, per-column-quantized with the attention's
+        a1/b1/b2 head scales — the attention kernel consumes it directly;
+      * attention context emitted int8 at the proj input scale;
+      * fc1 output GELU'd and twin-packed int8 for fc2.
+
+    x: (B, N, d).  blk: the block's parameter dict (models/vit.py layout).
+    qps: {op-suffix: QP} for qkv/matmul1/matmul2/proj/fc1/fc2.
+    pks: {op-suffix: packed entry} (ops/pack.pack_weights).
+    Returns the new residual stream, or None when any piece is out of
+    scope (the caller then runs the generic per-op path).
+    """
+    B, N, d = x.shape
+    hd = d // heads
+    qp_qkv, qp1, qp2, qp_proj, qp_fc1, qp_fc2 = (
+        qps.get(k) for k in ("qkv", "matmul1", "matmul2", "proj",
+                             "fc1", "fc2"))
+    if any(qp is None for qp in (qp_qkv, qp1, qp2, qp_proj, qp_fc1, qp_fc2)):
+        return None
+    for qp in (qp_qkv, qp_proj, qp_fc1, qp_fc2):
+        if not _linear_scope(qp):
+            return None
+    if qp_qkv.postgelu or qp_proj.postgelu or qp_fc1.postgelu \
+            or not qp_fc2.postgelu:
+        return None
+    if _qkv_hp(heads, hd) is None or _attn_scope(qp1, qp2, heads, hd) is None:
+        return None
+    # the qkv -> attention handoff quantizes q/k/v in the qkv epilogue with
+    # the attention's own head scales — one qmax must cover all sections
+    if not (qp1.A_qmax == qp1.B_qmax == qp2.B_qmax == 128):
+        return None
+
+    a1 = _head_scalar(qp1.A_interval, heads)
+    b1 = _head_scalar(qp1.B_interval, heads)
+    b2 = _head_scalar(qp2.B_interval, heads)
+    col_scales = jnp.concatenate([
+        jnp.repeat(a1, hd), jnp.repeat(b1, hd), jnp.repeat(b2, hd)])
+
+    attn = blk["attn"]
+    mlp = blk["mlp"]
+    w_qkv = _packed_or_compute(attn["qkv"]["weight"], qp_qkv,
+                               pks.get("qkv") or {})
+    w_proj = _packed_or_compute(attn["proj"]["weight"], qp_proj,
+                                pks.get("proj") or {})
+    w_fc1 = _packed_or_compute(mlp["fc1"]["weight"], qp_fc1,
+                               pks.get("fc1") or {})
+    w_fc2 = _packed_or_compute(mlp["fc2"]["weight"], qp_fc2,
+                               pks.get("fc2") or {})
+
+    # LN1 -> quantize(a_qkv) -> int8 qkv -> per-column requant (int8 out)
+    qkv_q = q8_linear(x, w_qkv[0], w_qkv[1], attn["qkv"]["bias"],
+                      qp_qkv.a_interval[0, 0], None,
+                      a_qmax=qp_qkv.a_qmax, postgelu=False,
+                      ln=(blk["norm1"]["weight"], blk["norm1"]["bias"],
+                          ln_eps),
+                      out_q="vec", out_scale=col_scales, out_qmax=128)
+    if qkv_q is None:
+        return None
+    # attention on the pre-quantized buffer; context requantized for proj
+    y_q = fused_attention_qkv(qkv_q, heads, qp1, qp2, scale, in_q8=True,
+                              out_scale=qp_proj.a_interval[0, 0])
+    if y_q is None:
+        return None
+    y = q8_linear(y_q, w_proj[0], w_proj[1], attn["proj"]["bias"],
+                  qp_proj.a_interval[0, 0], None,
+                  a_qmax=qp_proj.a_qmax, postgelu=False, in_q="q8",
+                  float_dtype=x.dtype)
+    if y is None:
+        return None
+    x = x + y
+    # LN2 -> fc1 -> GELU -> twin-pack (int8) -> fc2 (twin input)
+    z_q = q8_linear(x, w_fc1[0], w_fc1[1], mlp["fc1"]["bias"],
+                    qp_fc1.a_interval[0, 0], None,
+                    a_qmax=qp_fc1.a_qmax, postgelu=False,
+                    ln=(blk["norm2"]["weight"], blk["norm2"]["bias"],
+                        ln_eps),
+                    epilogue="gelu", out_q="twin",
+                    out_scale=(qp_fc2.a_interval[0, 0],
+                               qp_fc2.a_neg_interval),
+                    out_qmax=qp_fc2.a_qmax)
+    if z_q is None:
+        return None
+    z = q8_linear(z_q, w_fc2[0], w_fc2[1], mlp["fc2"]["bias"],
+                  qp_fc2.a_interval[0, 0], qp_fc2.a_neg_interval,
+                  a_qmax=qp_fc2.a_qmax, postgelu=True, in_q="q8twin",
+                  float_dtype=x.dtype)
+    if z is None:
+        return None
+    return x + z

@@ -112,6 +112,49 @@ def test_fused_attention_qkv_matches_generic(rng):
                                atol=2e-5 * np.abs(ref).max())
 
 
+def test_fused_vit_block_path_matches_int8(rng):
+    """Whole-block fusion (LN prologues + int8 handoffs) on a ViT whose
+    dims satisfy the kernel constraints (hd=64, heads even) must match the
+    XLA int8 forward, and must actually take the block fast path."""
+    import jax
+    from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
+    from ptq4vit_tpu.configs import ptq4vit
+    from ptq4vit_tpu.models import vit as vit_mod
+    from ptq4vit_tpu.models.registry import DataConfig, Net
+    from ptq4vit_tpu.ops.int8_serve import fused_vit_block
+    from tests.test_calibrator import small_cfg
+
+    cfg = vit_mod.ViTConfig(name="blk_vit", img_size=32, patch_size=8,
+                            embed_dim=128, depth=2, num_heads=2,
+                            num_classes=10)
+    net = Net(name=cfg.name, cfg=cfg,
+              params=vit_mod.init_params(jax.random.PRNGKey(0), cfg),
+              forward=vit_mod.forward,
+              op_inventory=vit_mod.op_inventory(cfg),
+              op_shapes=vit_mod.op_shapes(cfg),
+              data_config=DataConfig(32, 1.0, (0.5,) * 3, (0.5,) * 3))
+    x = rng.standard_normal((4, 3, 32, 32)).astype(np.float32)
+    qstate = HessianQuantCalibrator(net, small_cfg(ptq4vit()), x,
+                                    batch_size=2).batching_quant_calib()
+    packed = pack_weights(net.params, qstate)
+
+    # the block fast path must be in scope for these dims
+    from ptq4vit_tpu.models.common import QuantCtx
+    ctx = QuantCtx(qstate=qstate, int8="fused", packed=packed)
+    blk = net.params["blocks"][0]
+    xs = jnp.asarray(rng.standard_normal((2, cfg.seq_len, 128)),
+                     jnp.float32)
+    assert ctx.vit_block("blocks.0", xs, blk, 2, cfg.head_dim ** -0.5,
+                         cfg.ln_eps) is not None
+
+    ref = np.asarray(net.apply(jnp.asarray(x), qstate=qstate, int8=True))
+    got = np.asarray(net.apply(jnp.asarray(x), qstate=qstate, int8="fused",
+                               packed=packed))
+    assert (ref.argmax(-1) == got.argmax(-1)).all()
+    np.testing.assert_allclose(got, ref, rtol=1e-3,
+                               atol=2e-3 * np.abs(ref).max())
+
+
 def test_packed_fused_model_forward_matches_int8(rng):
     """End-to-end: pack_weights + int8='fused' on a tiny ViT must match the
     unpacked XLA int8 forward."""

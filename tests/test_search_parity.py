@@ -243,6 +243,30 @@ def test_linear_search_pearson_chunk_parity(rng):
                                ref_a, rtol=1e-6)
 
 
+def test_int8_score_same_argmax(rng, monkeypatch):
+    """PTQ4VIT_TPU_INT8_SCORE=1 computes out_sim via int8 dots + one rescale
+    (vs fp32 fake-value einsums): same argmax -> identical intervals on the
+    parity fixtures."""
+    for quantizer in ("matmul", "sos_matmul"):
+        pol = _pol(quantizer=quantizer, metric="hessian", a_bit=8, b_bit=8)
+        A = rng.standard_normal((4, 3, 6, 5)).astype(np.float32)
+        if quantizer == "sos_matmul":
+            A = np.abs(A) / np.abs(A).max()
+        B = rng.standard_normal((4, 3, 5, 7)).astype(np.float32)
+        out = np.einsum("sgrc,sgco->sgro", A, B).astype(np.float32)
+        grad = rng.standard_normal(out.shape).astype(np.float32)
+        cap = OpCapture(kind="matmul", inputs={"a": A, "b": B}, out=out,
+                        grad=grad)
+        monkeypatch.delenv("PTQ4VIT_TPU_INT8_SCORE", raising=False)
+        ref = S.search_matmul(cap, pol)
+        monkeypatch.setenv("PTQ4VIT_TPU_INT8_SCORE", "1")
+        got = S.search_matmul(cap, pol)
+        np.testing.assert_array_equal(np.asarray(ref.A_interval),
+                                      np.asarray(got.A_interval))
+        np.testing.assert_array_equal(np.asarray(ref.B_interval),
+                                      np.asarray(got.B_interval))
+
+
 def test_search_matmul_batch_matches_per_op(rng):
     """The vmapped same-shape cohort search must reproduce per-op results
     exactly (the op axis is batched, never reduced over)."""
