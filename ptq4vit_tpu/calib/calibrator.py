@@ -12,7 +12,14 @@ each op's jitted search runs back-to-back on device.
 Sequential mode (reference sequential=True, quant_calib.py:369): each op is
 calibrated with all PRECEDING ops already in quant_forward mode, which
 requires a fresh capture per op — supported, at the cost the reference also
-pays.
+pays.  NOTE: each of those captures is a DISTINCT executable (the quantized
+prefix and the tapped op change the traced structure per step; one unified
+graph would need every op's taps as outputs at once, i.e. the whole
+activation volume resident), so on a remote-compile backend (axon tunnel)
+sequential mode pays O(num_ops) slow compiles on the first run.  Use the
+parallel paradigm (the reference's production default, and ours) unless the
+sequential semantics are specifically under study; the persistent XLA cache
+makes repeat sequential runs tolerable.
 
 Bias correction: the reference's batching pipeline sets
 ``bias_correction=True`` (configs/PTQ4ViT.py:34) but never invokes
@@ -326,19 +333,22 @@ class HessianQuantCalibrator:
                 for all_names in cohorts.values():
                     if len(all_names) < 2:
                         continue
-                    # bound the transient stacked copy to ~2 GB of caches
+                    # bound the transient stacked copy to ~1 GB of caches:
+                    # the batched search's peak = resident group (budget)
+                    # + this stack + L-scaled scratch, and the whole sum
+                    # must stay inside HBM alongside the capture workspace
                     c0 = raw[all_names[0]]
                     per = sum(int(np.prod(a.shape)) * a.dtype.itemsize
                               for a in [c0.inputs["a"], c0.inputs["b"]]
                               + ([c0.grad] if c0.grad is not None else [])
                               + ([c0.out] if c0.out is not None else []))
-                    lc = max(2, int((2 << 30) // max(per, 1)))
+                    lc = max(2, int((1 << 30) // max(per, 1)))
                     for st in range(0, len(all_names), lc):
                         names = all_names[st:st + lc]
                         t0 = time.time()
                         qps = S.search_matmul_batch(
                             [raw[n] for n in names], policies[names[0]],
-                            self.search_budget)
+                            min(self.search_budget, 1 << 30))
                         dt = (time.time() - t0) / len(names)
                         for n, qp in zip(names, qps):
                             qstate[n] = qp

@@ -896,7 +896,10 @@ def search_matmul_batch(caps, policy: OpPolicy,
     the op axis amortizes both.  Results are identical to per-op calls
     (the op axis is batched, never reduced over).
 
-    caps: list of OpCapture with identical A/B/grad shapes.
+    caps: list of OpCapture with identical A/B/grad shapes.  CONSUMES the
+    caps: their buffers are released as soon as the stacked copies are
+    built, so the transient op-axis copy does not stack on top of the
+    resident group caches (HBM headroom).
     Returns [MatMulQP] in caps order.
     """
     L = len(caps)
@@ -910,6 +913,10 @@ def search_matmul_batch(caps, policy: OpPolicy,
            else jnp.zeros((L, 1), jnp.float32))
     grad = (jnp.stack([jnp.asarray(c.grad) for c in caps]) if have_grad
             else jnp.zeros((L, 1), jnp.float32))
+    for c in caps:
+        c.inputs.clear()
+        c.out = None
+        c.grad = None
     S, G, R, _ = A.shape[1:]
     Co = B.shape[-1]
     P, bs = plan_chunks(policy.eq_n, S, L * G * R * Co, budget)

@@ -116,6 +116,20 @@ class QuantCtx:
         from ..ops.int8_serve import fused_vit_block
         return fused_vit_block(x, blk, qps, pks, heads, scale, ln_eps)
 
+    def window_attention_qkv(self, name1, name2, qkv, heads, nW, prescale,
+                             bias, mask):
+        """Fused Swin window-attention fast path (bias + shifted-window
+        mask in-kernel); returns (B_, N, C) or None for the generic path."""
+        if self.int8 != "fused" or self.capture or self.eps is not None:
+            return None
+        qp1 = self.qstate.get(name1)
+        qp2 = self.qstate.get(name2)
+        if qp1 is None or qp2 is None:
+            return None
+        from ..ops.int8_serve import fused_window_attention_qkv
+        return fused_window_attention_qkv(qkv, heads, nW, qp1, qp2,
+                                          prescale, bias, mask)
+
     def attention_qkv(self, name1, name2, qkv, heads, scale):
         """Fused int8 attention fast path: softmax(q@kᵀ·scale)@v with both
         matmul QPs realized in one Pallas kernel reading q/v straight from

@@ -185,22 +185,25 @@ def _window_attention(ctx: QuantCtx, prefix: str, x, attn_p, heads: int,
     hd = C // heads
     qkv = ctx.linear(f"{prefix}.qkv", x, attn_p["qkv"]["weight"],
                      attn_p["qkv"]["bias"])
-    qkv = qkv.reshape(B_, N, 3, heads, hd).transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0], qkv[1], qkv[2]
-    q = q * (hd ** -0.5)  # pre-scaled q (models.py:34)
-    attn = ctx.matmul(f"{prefix}.matmul1", q, jnp.swapaxes(k, -2, -1))
     rpi = relative_position_index(ws).reshape(-1)
     bias = attn_p["relative_position_bias_table"][rpi]
     bias = bias.reshape(N, N, heads).transpose(2, 0, 1)
-    attn = attn + bias[None]
-    if mask is not None:
-        nW = mask.shape[0]
-        m = jnp.asarray(mask, attn.dtype)[None, :, None]  # 1, nW, 1, N, N
-        attn = attn.reshape(B_ // nW, nW, heads, N, N) + m
-        attn = attn.reshape(B_, heads, N, N)
-    attn = softmax_f32(attn, axis=-1)
-    y = ctx.matmul(f"{prefix}.matmul2", attn, v)
-    y = y.transpose(0, 2, 1, 3).reshape(B_, N, C)
+    nW = mask.shape[0] if mask is not None else 1
+    y = ctx.window_attention_qkv(f"{prefix}.matmul1", f"{prefix}.matmul2",
+                                 qkv, heads, nW, hd ** -0.5, bias, mask)
+    if y is None:
+        qkv = qkv.reshape(B_, N, 3, heads, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        q = q * (hd ** -0.5)  # pre-scaled q (models.py:34)
+        attn = ctx.matmul(f"{prefix}.matmul1", q, jnp.swapaxes(k, -2, -1))
+        attn = attn + bias[None]
+        if mask is not None:
+            m = jnp.asarray(mask, attn.dtype)[None, :, None]  # 1,nW,1,N,N
+            attn = attn.reshape(B_ // nW, nW, heads, N, N) + m
+            attn = attn.reshape(B_, heads, N, N)
+        attn = softmax_f32(attn, axis=-1)
+        y = ctx.matmul(f"{prefix}.matmul2", attn, v)
+        y = y.transpose(0, 2, 1, 3).reshape(B_, N, C)
     return ctx.linear(f"{prefix}.proj", y, attn_p["proj"]["weight"],
                       attn_p["proj"]["bias"])
 

@@ -243,10 +243,13 @@ def q8_linear(x, w_intT, w_scale, b, a_interval, a_neg_interval, *,
 
 def _attn_math(q_in, kt_in, v_in, a1, b1, a2, b2, split, scale, a_out, *,
                sos: bool, in_q8: bool, out_q8: bool,
-               A1_qmax: int, B1_qmax: int, A2_qmax: int, B2_qmax: int):
+               A1_qmax: int, B1_qmax: int, A2_qmax: int, B2_qmax: int,
+               extra=None):
     """Shared per-head attention math: quantize -> q@kᵀ -> softmax ->
     (SoS) quantize -> @v, all in VMEM.  q_in (BM, hd), kt_in (hd, N),
-    v_in (N, hd) -> (BM, hd); f32, or int8 when ``out_q8``."""
+    v_in (N, hd) -> (BM, hd); f32, or int8 when ``out_q8``.
+    ``extra``: optional (BM, N) additive pre-softmax term (Swin relative
+    position bias + shifted-window mask)."""
     if in_q8:
         q_int, kt_int, v_int = q_in, kt_in, v_in
     else:
@@ -257,6 +260,8 @@ def _attn_math(q_in, kt_in, v_in, a1, b1, a2, b2, split, scale, a_out, *,
         v_int = jnp.clip(jnp.round(v_in / b2), -B2_qmax, B2_qmax - 1) \
             .astype(jnp.int8)
     logits = _dot_i8(q_int, kt_int).astype(jnp.float32) * (a1 * b1 * scale)
+    if extra is not None:
+        logits = logits + extra
     p = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
     p = p / jnp.sum(p, axis=-1, keepdims=True)
 
@@ -496,6 +501,106 @@ def fused_attention_qkv(qkv, heads: int, qp1, qp2, scale, *,
             transcendentals=B * heads * N * N),
         interpret=interpret,
     )(ph, misc, qkv, kt, qkv)
+    return out
+
+
+def _attn_kernel_win(ph_ref, misc_ref, q_ref, kt_ref, v_ref, bias_ref,
+                     mask_ref, out_ref, *, hd: int, hp_n: int,
+                     has_mask: bool, **flags):
+    # Swin window attention: one window x hp_n heads per grid step; bias
+    # (and shifted-window mask) added to the logits before softmax
+    hp = pl.program_id(2)
+    q2 = q_ref[0].astype(jnp.float32)        # (N, hp_n*hd)
+    v2 = v_ref[0].astype(jnp.float32)        # (N, hp_n*hd)
+    mask = mask_ref[0] if has_mask else None
+    outs = []
+    for j in range(hp_n):
+        h = hp * hp_n + j
+        extra = bias_ref[j]
+        if has_mask:
+            extra = extra + mask
+        outs.append(_attn_math(
+            q2[:, j * hd:(j + 1) * hd], kt_ref[0, j].astype(jnp.float32),
+            v2[:, j * hd:(j + 1) * hd],
+            ph_ref[0, h], ph_ref[1, h], ph_ref[2, h], ph_ref[3, h],
+            misc_ref[0, 0], misc_ref[0, 1], misc_ref[0, 2],
+            in_q8=False, extra=extra, **flags))
+    out_ref[0] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
+
+
+def fused_window_attention_qkv(qkv, heads: int, nW: int, qp1, qp2,
+                               prescale, bias, mask):
+    """Fused Swin window attention from the (B_, N, 3C) qkv-linear output,
+    B_ = B*nW windows: softmax(q·s @ kᵀ + bias [+ mask]) @ v per head, with
+    the reference's PRE-scaled q quantization (utils/models.py:34 — q is
+    multiplied by s before matmul1, so the A operand quantizes q·s; here
+    that folds into the quantize scale a1/s with the logit rescale a1·b1).
+
+    bias: (H, N, N) relative-position bias;  mask: (nW, N, N) additive
+    shifted-window mask or None.  Returns (B_, N, C) in qkv.dtype, or None
+    when out of scope.
+    """
+    B_, N, c3 = qkv.shape
+    C = c3 // 3
+    hd = C // heads
+    hp_n = _qkv_hp(heads, hd)
+    if hp_n is None or B_ % nW != 0:
+        return None
+    scoped = _attn_scope(qp1, qp2, heads, hd)
+    if scoped is None:
+        return None
+    ph, sos = scoped
+    # quantize q with a1/s, rescale logits by (a1/s)*b1*s = a1*b1
+    s = jnp.float32(prescale)
+    ph = ph.at[0].divide(s)
+    # full-window row tiles only (N is small for windows)
+    if _attn_bm(N, hd) < N:
+        return None
+    interpret = jax.default_backend() == "cpu"
+    kt = jnp.transpose(qkv[:, :, C:2 * C].reshape(B_, N, heads, hd),
+                       (0, 2, 3, 1))                      # (B_, heads, hd, N)
+    misc = _attn_misc(qp2, sos, s)
+    bw = hp_n * hd
+    bias3 = jnp.asarray(bias, jnp.float32)
+    has_mask = mask is not None
+    mask3 = (jnp.asarray(mask, jnp.float32) if has_mask
+             else jnp.zeros((1, N, N), jnp.float32))
+    grid = (B_ // nW, nW, heads // hp_n)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_win, hd=hd, hp_n=hp_n,
+                          has_mask=has_mask, out_q8=False,
+                          **_attn_flags(qp1, qp2, sos)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N, bw), lambda b, w, hp, _n=nW: (b * _n + w,
+                                                              0, hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp_n, hd, N),
+                         lambda b, w, hp, _n=nW: (b * _n + w, hp, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, bw),
+                         lambda b, w, hp, _n=nW, _v0=2 * heads // hp_n:
+                         (b * _n + w, 0, _v0 + hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp_n, N, N), lambda b, w, hp: (hp, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, N),
+                         (lambda b, w, hp: (w, 0, 0)) if has_mask
+                         else (lambda b, w, hp: (0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, bw),
+                               lambda b, w, hp, _n=nW: (b * _n + w, 0, hp),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B_, N, C), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B_ * heads * N * N * hd * (3 if sos else 2),
+            bytes_accessed=2 * B_ * N * c3 * qkv.dtype.itemsize,
+            transcendentals=B_ * heads * N * N),
+        interpret=interpret,
+    )(ph, misc, qkv, kt, qkv, bias3, mask3)
     return out
 
 
