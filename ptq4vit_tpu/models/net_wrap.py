@@ -20,10 +20,12 @@ from typing import Dict, Sequence
 
 import jax.numpy as jnp
 
-# leaf-name -> module-type map (reference net_wrap.py:42)
+# leaf-name -> module-type map (reference net_wrap.py:42; head_dist is our
+# addition — the reference's map lacks it and crashes on distilled DeiT)
 MODULE_TYPES = {"qkv": "qlinear_qkv", "proj": "qlinear_proj",
                 "fc1": "qlinear_MLP_1", "fc2": "qlinear_MLP_2",
-                "head": "qlinear_classifier", "matmul1": "qmatmul_qk",
+                "head": "qlinear_classifier",
+                "head_dist": "qlinear_classifier", "matmul1": "qmatmul_qk",
                 "matmul2": "qmatmul_scorev", "reduction": "qlinear_reduction"}
 
 

@@ -63,6 +63,20 @@ MODEL_ZOO: Dict[str, Dict[str, Any]] = {
                                   heads=12, crop_pct=0.9),
     "deit_base_patch16_384": dict(**_DEIT, img=384, patch=16, dim=768, depth=12,
                                   heads=12, crop_pct=1.0),
+    # --- DeiT distilled (dist_token + head_dist; beyond the reference grid —
+    # its module-type map lacks head_dist and crashes on these)
+    "deit_tiny_distilled_patch16_224": dict(**_DEIT, img=224, patch=16,
+                                            dim=192, depth=12, heads=3,
+                                            crop_pct=0.9, distilled=True),
+    "deit_small_distilled_patch16_224": dict(**_DEIT, img=224, patch=16,
+                                             dim=384, depth=12, heads=6,
+                                             crop_pct=0.9, distilled=True),
+    "deit_base_distilled_patch16_224": dict(**_DEIT, img=224, patch=16,
+                                            dim=768, depth=12, heads=12,
+                                            crop_pct=0.9, distilled=True),
+    "deit_base_distilled_patch16_384": dict(**_DEIT, img=384, patch=16,
+                                            dim=768, depth=12, heads=12,
+                                            crop_pct=1.0, distilled=True),
     # --- Swin (example/test_all.py:95-98)
     "swin_tiny_patch4_window7_224": dict(**_SWIN, img=224, patch=4, dim=96,
                                          depths=(2, 2, 6, 2),
@@ -113,7 +127,8 @@ def model_config(name: str):
     if z["kind"] == "vit":
         return vit_mod.ViTConfig(name=name, img_size=z["img"],
                                  patch_size=z["patch"], embed_dim=z["dim"],
-                                 depth=z["depth"], num_heads=z["heads"])
+                                 depth=z["depth"], num_heads=z["heads"],
+                                 distilled=z.get("distilled", False))
     return swin_mod.SwinConfig(name=name, img_size=z["img"],
                                patch_size=z["patch"], embed_dim=z["dim"],
                                depths=z["depths"], num_heads=z["heads"],

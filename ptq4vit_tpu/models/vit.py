@@ -36,6 +36,12 @@ class ViTConfig:
     num_classes: int = 1000
     ln_eps: float = 1e-6
     in_chans: int = 3
+    # DeiT distilled variants (timm deit_*_distilled_*): an extra learned
+    # distillation token and a second classifier head; inference averages
+    # the two heads.  The reference's module-type map lacks head_dist
+    # (net_wrap.py:42) so its pipeline crashes on these — supported here
+    # as a deliberate upgrade (see README divergences).
+    distilled: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -47,7 +53,7 @@ class ViTConfig:
 
     @property
     def seq_len(self) -> int:
-        return self.num_patches + 1  # cls token
+        return self.num_patches + (2 if self.distilled else 1)
 
 
 def init_params(rng: jax.Array, cfg: ViTConfig) -> Dict[str, Any]:
@@ -83,6 +89,10 @@ def init_params(rng: jax.Array, cfg: ViTConfig) -> Dict[str, Any]:
         "norm": ln(),
         "head": lin(next(keys), d, cfg.num_classes),
     }
+    if cfg.distilled:
+        params["dist_token"] = jax.random.normal(
+            next(keys), (1, 1, d), jnp.float32) * 0.02
+        params["head_dist"] = lin(next(keys), d, cfg.num_classes)
     for _ in range(cfg.depth):
         params["blocks"].append({
             "norm1": ln(),
@@ -122,7 +132,11 @@ def forward(params: Dict[str, Any], x, cfg: ViTConfig,
     x, _ = ctx.conv2d_patch("patch_embed.proj", x, pe["weight"], pe["bias"],
                             cfg.patch_size)
     cls = jnp.broadcast_to(params["cls_token"], (B, 1, d))
-    x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
+    if cfg.distilled:
+        dist = jnp.broadcast_to(params["dist_token"], (B, 1, d))
+        x = jnp.concatenate([cls, dist, x], axis=1) + params["pos_embed"]
+    else:
+        x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
 
     for i, blk in enumerate(params["blocks"]):
         p = f"blocks.{i}"
@@ -160,6 +174,12 @@ def forward(params: Dict[str, Any], x, cfg: ViTConfig,
     x = layer_norm(x, params["norm"]["weight"], params["norm"]["bias"], cfg.ln_eps)
     logits = ctx.linear("head", x[:, 0], params["head"]["weight"],
                         params["head"]["bias"])
+    if cfg.distilled:
+        # timm DistilledVisionTransformer eval: mean of the two heads
+        logits_d = ctx.linear("head_dist", x[:, 1],
+                              params["head_dist"]["weight"],
+                              params["head_dist"]["bias"])
+        logits = (logits + logits_d) / 2
     if capture:
         return logits, ctx.taps
     return logits
@@ -181,6 +201,8 @@ def op_inventory(cfg: ViTConfig):
             (f"{p}.mlp.fc2", "qlinear_MLP_2"),
         ]
     ops.append(("head", "qlinear_classifier"))
+    if cfg.distilled:
+        ops.append(("head_dist", "qlinear_classifier"))
     return ops
 
 
@@ -209,4 +231,7 @@ def op_shapes(cfg: ViTConfig):
                                 "out_features": d, "tokens": N}
     info["head"] = {"kind": "linear", "in_features": d,
                     "out_features": cfg.num_classes, "tokens": 1}
+    if cfg.distilled:
+        info["head_dist"] = {"kind": "linear", "in_features": d,
+                             "out_features": cfg.num_classes, "tokens": 1}
     return info

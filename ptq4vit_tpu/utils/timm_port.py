@@ -39,6 +39,9 @@ def vit_params_from_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]
         "norm": lin("norm"),
         "head": lin("head"),
     }
+    if getattr(cfg, "distilled", False):
+        params["dist_token"] = g("dist_token")
+        params["head_dist"] = lin("head_dist")
     for i in range(cfg.depth):
         p = f"blocks.{i}"
         params["blocks"].append({

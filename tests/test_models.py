@@ -36,7 +36,11 @@ def torch_vit_forward(params, x, cfg):
     x = x.flatten(2).transpose(1, 2)                      # B, N, C
     B = x.shape[0]
     cls = t(params["cls_token"]).expand(B, -1, -1)
-    x = torch.cat([cls, x], dim=1) + t(params["pos_embed"])
+    if cfg.distilled:
+        dist = t(params["dist_token"]).expand(B, -1, -1)
+        x = torch.cat([cls, dist, x], dim=1) + t(params["pos_embed"])
+    else:
+        x = torch.cat([cls, x], dim=1) + t(params["pos_embed"])
     H, hd = cfg.num_heads, cfg.head_dim
     for blk in params["blocks"]:
         y = torch_layer_norm(x, blk["norm1"]["weight"], blk["norm1"]["bias"], cfg.ln_eps)
@@ -55,7 +59,13 @@ def torch_vit_forward(params, x, cfg):
         y = F.linear(y, t(blk["mlp"]["fc2"]["weight"]), t(blk["mlp"]["fc2"]["bias"]))
         x = x + y
     x = torch_layer_norm(x, params["norm"]["weight"], params["norm"]["bias"], cfg.ln_eps)
-    return F.linear(x[:, 0], t(params["head"]["weight"]), t(params["head"]["bias"]))
+    logits = F.linear(x[:, 0], t(params["head"]["weight"]),
+                      t(params["head"]["bias"]))
+    if cfg.distilled:
+        logits_d = F.linear(x[:, 1], t(params["head_dist"]["weight"]),
+                            t(params["head_dist"]["bias"]))
+        logits = (logits + logits_d) / 2
+    return logits
 
 
 def test_vit_forward_matches_torch_oracle(rng):
@@ -65,6 +75,39 @@ def test_vit_forward_matches_torch_oracle(rng):
     ours = np.asarray(vit_forward(params, jnp.asarray(x), cfg))
     ref = torch_vit_forward(jax.tree.map(np.asarray, params), x, cfg).numpy()
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_distilled_deit_forward_and_calibration(rng):
+    """Distilled DeiT (dist_token + averaged twin heads): oracle parity,
+    head_dist in the op inventory, and a full tiny calibration + int8
+    forward.  The reference cannot run these models at all (its module-type
+    map lacks head_dist, net_wrap.py:42)."""
+    cfg = ViTConfig(name="test_deit_dist", img_size=32, patch_size=8,
+                    embed_dim=24, depth=2, num_heads=3, num_classes=10,
+                    distilled=True)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    x = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    ours = np.asarray(vit_forward(params, jnp.asarray(x), cfg))
+    ref = torch_vit_forward(jax.tree.map(np.asarray, params), x, cfg).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+
+    from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
+    from ptq4vit_tpu.configs import ptq4vit
+    from ptq4vit_tpu.models.registry import DataConfig, Net
+    from ptq4vit_tpu.models import vit as vit_mod
+    from tests.test_calibrator import small_cfg
+    inv = vit_mod.op_inventory(cfg)
+    assert ("head_dist", "qlinear_classifier") in inv
+    net = Net(name=cfg.name, cfg=cfg, params=params,
+              forward=vit_mod.forward, op_inventory=inv,
+              op_shapes=vit_mod.op_shapes(cfg),
+              data_config=DataConfig(32, 1.0, (0.5,) * 3, (0.5,) * 3))
+    calib = rng.standard_normal((4, 3, 32, 32)).astype(np.float32)
+    qstate = HessianQuantCalibrator(net, small_cfg(ptq4vit()), calib,
+                                    batch_size=2).batching_quant_calib()
+    assert set(qstate) == {n for n, _ in inv}
+    logits = net.apply(jnp.asarray(x), qstate=qstate, int8=True)
+    assert np.isfinite(np.asarray(logits)).all()
 
 
 def test_vit_capture_taps_match_inventory():
