@@ -144,7 +144,24 @@ class HessianQuantCalibrator:
         # catastrophically slow on tunneled/remote devices); ops are grouped
         # so each group's caches fit the budget
         self.device_resident = device_resident
-        # bfloat16 caches halve the group count (see capture cache_dtype)
+        # bfloat16 caches halve the group count (fewer capture executables —
+        # the dominant capture cost on a high-dispatch-latency device) and
+        # the resident-HBM pressure.  Default: bf16 on accelerators, fp32 on
+        # CPU (where the torch-oracle parity tests pin exact reference
+        # numerics).  cache_dtype="auto" applies the same rule explicitly;
+        # PTQ4VIT_TPU_CACHE_DTYPE=float32|bfloat16 overrides either way.
+        # Searches cast caches back to fp32, so only the stored activations
+        # and probe-grads round; the interval argmaxes are robust to that
+        # rounding (PTQ noise level — see BENCH_NOTES.md).
+        env_dtype = os.environ.get("PTQ4VIT_TPU_CACHE_DTYPE")
+        if env_dtype:
+            cache_dtype = {"float32": None,
+                           "bfloat16": jnp.bfloat16}[env_dtype]
+        elif cache_dtype in (None, "auto"):
+            cache_dtype = (jnp.bfloat16 if jax.default_backend() != "cpu"
+                           else None)
+        elif cache_dtype == "float32":
+            cache_dtype = None
         self.cache_dtype = cache_dtype
         self.profile_dir = profile_dir
         self.cache_budget = (cache_budget_bytes if cache_budget_bytes
@@ -338,7 +355,8 @@ class HessianQuantCalibrator:
                     # + this stack + L-scaled scratch, and the whole sum
                     # must stay inside HBM alongside the capture workspace
                     c0 = raw[all_names[0]]
-                    per = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                    # count fp32 footprint: the search casts bf16 caches up
+                    per = sum(int(np.prod(a.shape)) * 4
                               for a in [c0.inputs["a"], c0.inputs["b"]]
                               + ([c0.grad] if c0.grad is not None else [])
                               + ([c0.out] if c0.out is not None else []))

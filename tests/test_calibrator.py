@@ -177,6 +177,22 @@ def test_bf16_cache_dtype(net, calib_x):
         np.testing.assert_allclose(a, b, rtol=0.35)
 
 
+def test_cache_dtype_defaults(net, calib_x, monkeypatch):
+    """cache_dtype resolution: fp32 on the CPU backend (exact parity),
+    "auto" forces bf16, and PTQ4VIT_TPU_CACHE_DTYPE overrides both ways."""
+    import jax.numpy as jnp
+    cfg = small_cfg(ptq4vit())
+    mk = lambda **kw: HessianQuantCalibrator(net, cfg, calib_x, **kw)
+    assert mk().cache_dtype is None                     # cpu backend default
+    assert mk(cache_dtype="auto").cache_dtype is None   # same rule
+    assert mk(cache_dtype="float32").cache_dtype is None
+    assert mk(cache_dtype=jnp.bfloat16).cache_dtype == jnp.bfloat16
+    monkeypatch.setenv("PTQ4VIT_TPU_CACHE_DTYPE", "bfloat16")
+    assert mk().cache_dtype == jnp.bfloat16             # env overrides
+    monkeypatch.setenv("PTQ4VIT_TPU_CACHE_DTYPE", "float32")
+    assert mk(cache_dtype=jnp.bfloat16).cache_dtype is None
+
+
 def test_swin_pipeline_end_to_end(rng):
     """Tiny Swin through the full PTQ4ViT pipeline: window-attention
     matmuls get head-wise scales, patch-merging reduction is calibrated."""
