@@ -65,8 +65,9 @@ def main():
     minutes = (time.time() - t0) / 60.0
     assert len(qstate) == len(net.op_inventory)
 
-    capture_s = calibrator.report.capture_seconds
-    search_s = sum(calibrator.report.search_seconds.values())
+    r = calibrator.report
+    capture_s = r.capture_seconds
+    search_s = sum(r.search_seconds.values())
     print(json.dumps({
         "metric": f"ptq4vit_calib_minutes_{MODEL}_{CALIB}imgs",
         "value": round(minutes, 3),
@@ -74,7 +75,10 @@ def main():
         "vs_baseline": round(BASELINE_MIN / minutes, 2),
         "capture_s": round(capture_s, 1),
         "search_s": round(search_s, 1),
-        "other_s": round(minutes * 60 - capture_s - search_s, 1),
+        "target_s": round(r.target_seconds, 1),
+        "sync_s": round(r.sync_seconds, 1),
+        "other_s": round(minutes * 60 - capture_s - search_s
+                         - r.target_seconds - r.sync_seconds, 1),
     }))
 
 

@@ -266,39 +266,12 @@ class HessianQuantCalibrator:
                 self._save_ckpt(name, mtype, qp)
             return qstate
 
-        # probe target once for all groups (quant_calib.py:309-313); one
-        # jitted scan over micro-batches = one dispatch
+        # probe target (quant_calib.py:309-313): computed INSIDE each
+        # group's capture program (capture.py fused_target) — per-sample
+        # independent, so batch-local softmax(logits + sigma*u) equals the
+        # reference's full-set pass, and no separate target executable is
+        # compiled/loaded/dispatched.
         target = None
-        t_setup = time.time()
-        if need_grad:
-            from .capture import probe_target
-            num = len(self.calib_x)
-            nb = next(b for b in range(min(8, num), 0, -1) if num % b == 0)
-            params = net.params
-            if self.mesh is not None:
-                dp = self.mesh.shape["data"]
-                nb = next((b for b in range(min(max(8, dp), num), 0, -1)
-                           if num % b == 0 and b % dp == 0), nb)
-
-            @jax.jit
-            def all_logits(p, xs):
-                def body(_, xb):
-                    return None, net.forward(p, xb, net.cfg)
-                _, ls = jax.lax.scan(body, None, xs)
-                return ls.reshape((-1,) + ls.shape[2:])
-
-            xs = jnp.asarray(self.calib_x).reshape(
-                (num // nb, nb) + self.calib_x.shape[1:])
-            if self.mesh is not None and nb % self.mesh.shape["data"] == 0:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                xs = jax.device_put(
-                    xs, NamedSharding(self.mesh, P(None, "data")))
-                params = jax.device_put(
-                    params, NamedSharding(self.mesh, P()))
-            raw_logits = np.asarray(all_logits(params, xs))
-            target = probe_target(raw_logits, self.probe_seed,
-                                  self.probe_sigma)
-        self.report.target_seconds = time.time() - t_setup
 
         # group ops so each capture pass fits the cache budget
         t_setup = time.time()
@@ -332,8 +305,17 @@ class HessianQuantCalibrator:
 
             # batch same-shape matmul searches (e.g. the L identical
             # window-attention matmuls of a Swin stage) into one vmapped
-            # dispatch each — see search.search_matmul_batch
-            if self.mesh is None:
+            # dispatch each — see search.search_matmul_batch.  Tuning knobs
+            # (hardware A/B without code edits):
+            #   PTQ4VIT_TPU_MATMUL_COHORT=0    disable, per-op searches
+            #   PTQ4VIT_TPU_COHORT_STACK_MB    stacked-copy bound (def 1024)
+            #   PTQ4VIT_TPU_COHORT_BUDGET_MB   scratch budget cap (def 1024)
+            cohort_on = os.environ.get("PTQ4VIT_TPU_MATMUL_COHORT") != "0"
+            stack_b = int(os.environ.get("PTQ4VIT_TPU_COHORT_STACK_MB",
+                                         "1024")) << 20
+            budget_b = int(os.environ.get("PTQ4VIT_TPU_COHORT_BUDGET_MB",
+                                          "1024")) << 20
+            if self.mesh is None and cohort_on:
                 cohorts: Dict[Any, List[str]] = {}
                 for name in group:
                     pol = policies[name]
@@ -360,13 +342,13 @@ class HessianQuantCalibrator:
                               for a in [c0.inputs["a"], c0.inputs["b"]]
                               + ([c0.grad] if c0.grad is not None else [])
                               + ([c0.out] if c0.out is not None else []))
-                    lc = max(2, int((1 << 30) // max(per, 1)))
+                    lc = max(2, int(stack_b // max(per, 1)))
                     for st in range(0, len(all_names), lc):
                         names = all_names[st:st + lc]
                         t0 = time.time()
                         qps = S.search_matmul_batch(
                             [raw[n] for n in names], policies[names[0]],
-                            min(self.search_budget, 1 << 30))
+                            min(self.search_budget, budget_b))
                         dt = (time.time() - t0) / len(names)
                         for n, qp in zip(names, qps):
                             qstate[n] = qp

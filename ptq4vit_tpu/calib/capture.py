@@ -133,15 +133,21 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
         names = [n for n in names if n in set(ops)]
     name_set = set(names)
 
-    # ---- target pass: raw logits over the calib set (quant_calib.py:309)
+    # ---- probe target (quant_calib.py:309).  When the caller does not
+    # supply one, the target is computed INSIDE the capture program: each
+    # micro-batch runs a raw forward, adds the seeded probe noise, and
+    # softmaxes — per-sample independent, so batch-local computation equals
+    # the reference's full-set pass, and the separate target executable
+    # (one more slow remote compile + ~130 ms dispatch) disappears.  Only
+    # the (num, classes) noise u ships from host.  Sequential mode must
+    # pass target_probs explicitly (its target comes from the RAW net, not
+    # the prefix-quantized one traced here).
+    fused_target = False
     if need_grad and target_probs is not None:
         target_all = np.asarray(target_probs, np.float32)
     elif need_grad:
-        logits_fn = jax.jit(lambda p, x: fwd(p, x, cfg))
-        raw_logits = np.concatenate([
-            np.asarray(logits_fn(params, jnp.asarray(calib_x[s:s + batch_size])))
-            for s in range(0, num, batch_size)], axis=0)
-        target_all = probe_target(raw_logits, probe_seed, probe_sigma)
+        fused_target = True
+        target_all = None
     else:
         target_all = None
 
@@ -150,10 +156,16 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
     # neither baked into the executable as constants nor shipped per call
     xb_spec = jax.ShapeDtypeStruct((batch_size,) + calib_x.shape[1:],
                                    jnp.float32)
-    _, tap_shapes = jax.eval_shape(
+    logits_spec, tap_shapes = jax.eval_shape(
         lambda p, x: fwd(p, x, cfg, qstate=qstate, capture=True),
         params, xb_spec)
     eps_shapes = {n: tap_shapes[n]["out"].shape for n in names}
+    if fused_target:
+        # seeded over the FULL (num, classes) shape then sliced per batch —
+        # identical values to probe_target on the concatenated logits
+        n_classes = logits_spec.shape[-1]
+        target_all = np.asarray(jax.random.normal(
+            jax.random.PRNGKey(probe_seed), (num, n_classes), jnp.float32))
 
     kinds = {}
     for n, mtype in net.op_inventory:
@@ -175,6 +187,11 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
 
     def step(p, xb, tb):
         if need_grad:
+            if fused_target:
+                # tb carries the probe noise u; the raw forward has no eps
+                # dependence, so no gradient flows through the target
+                raw_logits = fwd(p, xb, cfg, qstate=qstate)
+                tb = jax.nn.softmax(raw_logits + probe_sigma * tb, axis=-1)
             eps_zeros = {n: jnp.zeros(sh, jnp.float32)
                          for n, sh in eps_shapes.items()}
             def loss_fn(eps):
