@@ -266,11 +266,12 @@ class HessianQuantCalibrator:
                 self._save_ckpt(name, mtype, qp)
             return qstate
 
-        # probe target (quant_calib.py:309-313): computed INSIDE each
+        # probe target (quant_calib.py:309-313): computed INSIDE the first
         # group's capture program (capture.py fused_target) — per-sample
         # independent, so batch-local softmax(logits + sigma*u) equals the
-        # reference's full-set pass, and no separate target executable is
-        # compiled/loaded/dispatched.
+        # reference's full-set pass and no separate target executable is
+        # compiled/loaded/dispatched; later groups reuse the returned probs
+        # so their (large) capture executables stay lean.
         target = None
 
         # group ops so each capture pass fits the cache budget
@@ -294,13 +295,14 @@ class HessianQuantCalibrator:
             if not group:
                 continue
             t0 = time.time()
-            raw = capture(net, self.calib_x, batch_size=self.batch_size,
-                          need_grad=need_grad, probe_seed=self.probe_seed,
-                          probe_sigma=self.probe_sigma, ops=group,
-                          to_host=not self.device_resident,
-                          store_raw_out=not self.device_resident,
-                          cache_dtype=self.cache_dtype,
-                          target_probs=target, mesh=self.mesh)
+            raw, target = capture(
+                net, self.calib_x, batch_size=self.batch_size,
+                need_grad=need_grad, probe_seed=self.probe_seed,
+                probe_sigma=self.probe_sigma, ops=group,
+                to_host=not self.device_resident,
+                store_raw_out=not self.device_resident,
+                cache_dtype=self.cache_dtype,
+                target_probs=target, mesh=self.mesh, want_target=True)
             self.report.capture_seconds += time.time() - t0
 
             # batch same-shape matmul searches (e.g. the L identical

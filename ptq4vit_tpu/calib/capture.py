@@ -71,7 +71,8 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
             to_host: bool = True,
             store_raw_out: bool = True,
             cache_dtype=None,
-            mesh=None) -> Dict[str, OpCapture]:
+            mesh=None,
+            want_target: bool = False):
     """Run the capture pass over the calibration set.
 
     net: models.registry.Net;  calib_x: (num, 3, H, W) float32 host array.
@@ -139,12 +140,17 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
     # softmaxes — per-sample independent, so batch-local computation equals
     # the reference's full-set pass, and the separate target executable
     # (one more slow remote compile + ~130 ms dispatch) disappears.  Only
-    # the (num, classes) noise u ships from host.  Sequential mode must
-    # pass target_probs explicitly (its target comes from the RAW net, not
-    # the prefix-quantized one traced here).
+    # the (num, classes) noise u ships from host.  The extra in-scan
+    # forward bloats the executable (load time scales with program size on
+    # a tunneled device), so grouped callers should fuse it only into the
+    # FIRST group (want_target=True returns the computed probs for reuse)
+    # and pass target_probs to the rest.  Sequential mode must pass
+    # target_probs explicitly (its target comes from the RAW net, not the
+    # prefix-quantized one traced here).
     fused_target = False
     if need_grad and target_probs is not None:
-        target_all = np.asarray(target_probs, np.float32)
+        # np or device-resident jnp both fine (jnp stays on device)
+        target_all = target_probs
     elif need_grad:
         fused_target = True
         target_all = None
@@ -203,6 +209,8 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
             for n in names:
                 taps[n]["grad"] = (grads[n].astype(cache_dtype)
                                    if cache_dtype is not None else grads[n])
+            if fused_target and want_target:
+                taps["__target__"] = tb
             return taps
         _, taps = fwd(p, xb, cfg, qstate=qstate, capture=True)
         return filter_taps(taps)
@@ -249,4 +257,7 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
             inputs={k: rec[k] for k in TAP_FIELDS[kind]},
             out=rec.get("out"),
             grad=rec.get("grad"))
+    if want_target:
+        tgt = flat.get("__target__") if fused_target else target_all
+        return result, tgt
     return result
