@@ -116,6 +116,26 @@ class QuantCtx:
         from ..ops.int8_serve import fused_vit_block
         return fused_vit_block(x, blk, qps, pks, heads, scale, ln_eps)
 
+    def swin_block(self, prefix, x, blk, heads, ws, shift, res, bias, mask,
+                   ln_eps):
+        """Whole-Swin-block fused serving fast path (ops/int8_serve.py
+        fused_swin_block): roll/partition first, LN in the linear
+        prologues, int8 handoffs qkv->window-attention->proj and
+        fc1->fc2.  Returns the new residual stream or None."""
+        if self.int8 != "fused" or self.capture or self.eps is not None:
+            return None
+        keys = {"qkv": f"{prefix}.attn.qkv",
+                "matmul1": f"{prefix}.attn.matmul1",
+                "matmul2": f"{prefix}.attn.matmul2",
+                "proj": f"{prefix}.attn.proj",
+                "fc1": f"{prefix}.mlp.fc1",
+                "fc2": f"{prefix}.mlp.fc2"}
+        qps = {k: self.qstate.get(n) for k, n in keys.items()}
+        pks = {k: self.packed.get(n) or {} for k, n in keys.items()}
+        from ..ops.int8_serve import fused_swin_block
+        return fused_swin_block(x, blk, qps, pks, heads, ws, shift, res,
+                                bias, mask, ln_eps)
+
     def window_attention_qkv(self, name1, name2, qkv, heads, nW, prescale,
                              bias, mask):
         """Fused Swin window-attention fast path (bias + shifted-window

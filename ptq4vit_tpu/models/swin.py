@@ -237,6 +237,15 @@ def forward(params: Dict[str, Any], x, cfg: SwinConfig,
         for j, blk in enumerate(layer["blocks"]):
             ws, shift = cfg.block_geometry(i, j)
             p = f"layers.{i}.blocks.{j}"
+            rpi = relative_position_index(ws).reshape(-1)
+            bias = blk["attn"]["relative_position_bias_table"][rpi]
+            bias = bias.reshape(ws * ws, ws * ws, heads).transpose(2, 0, 1)
+            mask = shifted_window_mask(res, ws, shift)
+            xb = ctx.swin_block(p, x, blk, heads, ws, shift, res, bias,
+                                mask, cfg.ln_eps)
+            if xb is not None:
+                x = xb
+                continue
             shortcut = x
             y = layer_norm(x, blk["norm1"]["weight"], blk["norm1"]["bias"],
                            cfg.ln_eps)

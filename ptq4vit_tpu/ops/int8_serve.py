@@ -506,12 +506,12 @@ def fused_attention_qkv(qkv, heads: int, qp1, qp2, scale, *,
 
 def _attn_kernel_win(ph_ref, misc_ref, q_ref, kt_ref, v_ref, bias_ref,
                      mask_ref, out_ref, *, hd: int, hp_n: int,
-                     has_mask: bool, **flags):
+                     has_mask: bool, in_q8: bool, **flags):
     # Swin window attention: one window x hp_n heads per grid step; bias
     # (and shifted-window mask) added to the logits before softmax
-    hp = pl.program_id(2)
-    q2 = q_ref[0].astype(jnp.float32)        # (N, hp_n*hd)
-    v2 = v_ref[0].astype(jnp.float32)        # (N, hp_n*hd)
+    hp = pl.program_id(0)
+    q2 = q_ref[0] if in_q8 else q_ref[0].astype(jnp.float32)  # (N, hp_n*hd)
+    v2 = v_ref[0] if in_q8 else v_ref[0].astype(jnp.float32)
     mask = mask_ref[0] if has_mask else None
     outs = []
     for j in range(hp_n):
@@ -519,17 +519,19 @@ def _attn_kernel_win(ph_ref, misc_ref, q_ref, kt_ref, v_ref, bias_ref,
         extra = bias_ref[j]
         if has_mask:
             extra = extra + mask
+        kt = kt_ref[0, j] if in_q8 else kt_ref[0, j].astype(jnp.float32)
         outs.append(_attn_math(
-            q2[:, j * hd:(j + 1) * hd], kt_ref[0, j].astype(jnp.float32),
+            q2[:, j * hd:(j + 1) * hd], kt,
             v2[:, j * hd:(j + 1) * hd],
             ph_ref[0, h], ph_ref[1, h], ph_ref[2, h], ph_ref[3, h],
             misc_ref[0, 0], misc_ref[0, 1], misc_ref[0, 2],
-            in_q8=False, extra=extra, **flags))
+            in_q8=in_q8, extra=extra, **flags))
     out_ref[0] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
 
 
 def fused_window_attention_qkv(qkv, heads: int, nW: int, qp1, qp2,
-                               prescale, bias, mask):
+                               prescale, bias, mask, *,
+                               in_q8: bool = False, out_scale=None):
     """Fused Swin window attention from the (B_, N, 3C) qkv-linear output,
     B_ = B*nW windows: softmax(q·s @ kᵀ + bias [+ mask]) @ v per head, with
     the reference's PRE-scaled q quantization (utils/models.py:34 — q is
@@ -537,8 +539,13 @@ def fused_window_attention_qkv(qkv, heads: int, nW: int, qp1, qp2,
     that folds into the quantize scale a1/s with the logit rescale a1·b1).
 
     bias: (H, N, N) relative-position bias;  mask: (nW, N, N) additive
-    shifted-window mask or None.  Returns (B_, N, C) in qkv.dtype, or None
-    when out of scope.
+    shifted-window mask or None.
+    in_q8: qkv is already int8, per-column-quantized by the qkv linear's
+    ``out_q="vec"`` epilogue with the (a1/s, b1, b2) head scales.
+    out_scale: when given, the context is re-quantized by this scalar and
+    returned int8 (the proj linear's input scale).
+    Returns (B_, N, C) in qkv.dtype (int8 when out_scale), or None when
+    out of scope.
     """
     B_, N, c3 = qkv.shape
     C = c3 // 3
@@ -559,45 +566,51 @@ def fused_window_attention_qkv(qkv, heads: int, nW: int, qp1, qp2,
     interpret = jax.default_backend() == "cpu"
     kt = jnp.transpose(qkv[:, :, C:2 * C].reshape(B_, N, heads, hd),
                        (0, 2, 3, 1))                      # (B_, heads, hd, N)
-    misc = _attn_misc(qp2, sos, s)
+    misc = _attn_misc(qp2, sos, s, out_scale)
     bw = hp_n * hd
     bias3 = jnp.asarray(bias, jnp.float32)
     has_mask = mask is not None
     mask3 = (jnp.asarray(mask, jnp.float32) if has_mask
              else jnp.zeros((1, N, N), jnp.float32))
-    grid = (B_ // nW, nW, heads // hp_n)
+    out_dtype = jnp.int8 if out_scale is not None else qkv.dtype
+    # hp outermost (slowest): the bias block is then constant over the
+    # whole (b, w) sweep and stays VMEM-resident instead of being
+    # re-fetched every window
+    grid = (heads // hp_n, B_ // nW, nW)
     out = pl.pallas_call(
         functools.partial(_attn_kernel_win, hd=hd, hp_n=hp_n,
-                          has_mask=has_mask, out_q8=False,
+                          has_mask=has_mask, in_q8=in_q8,
+                          out_q8=out_scale is not None,
                           **_attn_flags(qp1, qp2, sos)),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N, bw), lambda b, w, hp, _n=nW: (b * _n + w,
+            pl.BlockSpec((1, N, bw), lambda hp, b, w, _n=nW: (b * _n + w,
                                                               0, hp),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hp_n, hd, N),
-                         lambda b, w, hp, _n=nW: (b * _n + w, hp, 0, 0),
+                         lambda hp, b, w, _n=nW: (b * _n + w, hp, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, bw),
-                         lambda b, w, hp, _n=nW, _v0=2 * heads // hp_n:
+                         lambda hp, b, w, _n=nW, _v0=2 * heads // hp_n:
                          (b * _n + w, 0, _v0 + hp),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hp_n, N, N), lambda b, w, hp: (hp, 0, 0),
+            pl.BlockSpec((hp_n, N, N), lambda hp, b, w: (hp, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, N),
-                         (lambda b, w, hp: (w, 0, 0)) if has_mask
-                         else (lambda b, w, hp: (0, 0, 0)),
+                         (lambda hp, b, w: (w, 0, 0)) if has_mask
+                         else (lambda hp, b, w: (0, 0, 0)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, N, bw),
-                               lambda b, w, hp, _n=nW: (b * _n + w, 0, hp),
+                               lambda hp, b, w, _n=nW: (b * _n + w, 0, hp),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B_, N, C), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((B_, N, C), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * B_ * heads * N * N * hd * (3 if sos else 2),
-            bytes_accessed=2 * B_ * N * c3 * qkv.dtype.itemsize,
+            bytes_accessed=2 * B_ * N * c3 * qkv.dtype.itemsize
+            + heads * N * N * 4,
             transcendentals=B_ * heads * N * N),
         interpret=interpret,
     )(ph, misc, qkv, kt, qkv, bias3, mask3)
@@ -720,6 +733,117 @@ def fused_vit_block(x, blk, qps, pks, heads: int, scale, ln_eps):
     if y is None:
         return None
     x = x + y
+    # LN2 -> fc1 -> GELU -> twin-pack (int8) -> fc2 (twin input)
+    z_q = q8_linear(x, w_fc1[0], w_fc1[1], mlp["fc1"]["bias"],
+                    qp_fc1.a_interval[0, 0], None,
+                    a_qmax=qp_fc1.a_qmax, postgelu=False,
+                    ln=(blk["norm2"]["weight"], blk["norm2"]["bias"],
+                        ln_eps),
+                    epilogue="gelu", out_q="twin",
+                    out_scale=(qp_fc2.a_interval[0, 0],
+                               qp_fc2.a_neg_interval),
+                    out_qmax=qp_fc2.a_qmax)
+    if z_q is None:
+        return None
+    z = q8_linear(z_q, w_fc2[0], w_fc2[1], mlp["fc2"]["bias"],
+                  qp_fc2.a_interval[0, 0], qp_fc2.a_neg_interval,
+                  a_qmax=qp_fc2.a_qmax, postgelu=True, in_q="q8twin",
+                  float_dtype=x.dtype)
+    if z is None:
+        return None
+    return x + z
+
+
+def fused_swin_block(x, blk, qps, pks, heads: int, ws: int, shift: int,
+                     res: int, bias, mask, ln_eps):
+    """One Swin block with int8 handoffs — the window analogue of
+    :func:`fused_vit_block`:
+
+      * the token stream is rolled/window-partitioned FIRST (a pure
+        permutation, so the per-token LayerNorm commutes) and LN1 runs in
+        the qkv kernel's prologue on the windowed layout;
+      * qkv output emitted int8, per-column-quantized with (a1/s, b1, b2)
+        head scales — a1 folded with the PRE-scaled-q quantization of the
+        reference (utils/models.py:34);
+      * window attention (rel-pos bias + shifted mask in-kernel) consumes
+        the int8 buffer and emits the context int8 at the proj scale;
+      * proj output is window-reversed/unrolled back to (B, res*res, C);
+      * LN2 -> fc1/GELU -> twin-packed int8 -> fc2 as in the ViT block.
+
+    x: (B, res*res, C).  bias: (H, N, N); mask: (nW, N, N) or None.
+    Returns the new residual stream or None when out of scope.
+    """
+    from ..models.swin import window_partition, window_reverse
+    B, T, C = x.shape
+    hd = C // heads
+    N = ws * ws
+    qp_qkv, qp1, qp2, qp_proj, qp_fc1, qp_fc2 = (
+        qps.get(k) for k in ("qkv", "matmul1", "matmul2", "proj",
+                             "fc1", "fc2"))
+    if any(qp is None for qp in (qp_qkv, qp1, qp2, qp_proj, qp_fc1, qp_fc2)):
+        return None
+    for qp in (qp_qkv, qp_proj, qp_fc1, qp_fc2):
+        if not _linear_scope(qp):
+            return None
+    if qp_qkv.postgelu or qp_proj.postgelu or qp_fc1.postgelu \
+            or not qp_fc2.postgelu:
+        return None
+    scoped = _attn_scope(qp1, qp2, heads, hd)
+    if _qkv_hp(heads, hd) is None or scoped is None or _attn_bm(N, hd) < N:
+        return None
+    if not (qp1.A_qmax == qp1.B_qmax == qp2.B_qmax == 128):
+        return None
+
+    s = hd ** -0.5
+    a1 = _head_scalar(qp1.A_interval, heads) / jnp.float32(s)
+    b1 = _head_scalar(qp1.B_interval, heads)
+    b2 = _head_scalar(qp2.B_interval, heads)
+    col_scales = jnp.concatenate([
+        jnp.repeat(a1, hd), jnp.repeat(b1, hd), jnp.repeat(b2, hd)])
+
+    attn = blk["attn"]
+    mlp = blk["mlp"]
+    w_qkv = _packed_or_compute(attn["qkv"]["weight"], qp_qkv,
+                               pks.get("qkv") or {})
+    w_proj = _packed_or_compute(attn["proj"]["weight"], qp_proj,
+                                pks.get("proj") or {})
+    w_fc1 = _packed_or_compute(mlp["fc1"]["weight"], qp_fc1,
+                               pks.get("fc1") or {})
+    w_fc2 = _packed_or_compute(mlp["fc2"]["weight"], qp_fc2,
+                               pks.get("fc2") or {})
+
+    # roll + window partition first (pure permutation; LN is per-token)
+    y = x.reshape(B, res, res, C)
+    if shift > 0:
+        y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+    yw = window_partition(y, ws)                          # (B*nW, N, C)
+    nW = mask.shape[0] if mask is not None else 1
+
+    # LN1 -> quantize -> int8 qkv -> per-column requant (int8 out)
+    qkv_q = q8_linear(yw, w_qkv[0], w_qkv[1], attn["qkv"]["bias"],
+                      qp_qkv.a_interval[0, 0], None,
+                      a_qmax=qp_qkv.a_qmax, postgelu=False,
+                      ln=(blk["norm1"]["weight"], blk["norm1"]["bias"],
+                          ln_eps),
+                      out_q="vec", out_scale=col_scales, out_qmax=128)
+    if qkv_q is None:
+        return None
+    y_q = fused_window_attention_qkv(qkv_q, heads, nW, qp1, qp2, s,
+                                     bias, mask, in_q8=True,
+                                     out_scale=qp_proj.a_interval[0, 0])
+    if y_q is None:
+        return None
+    yw = q8_linear(y_q, w_proj[0], w_proj[1], attn["proj"]["bias"],
+                   qp_proj.a_interval[0, 0], None,
+                   a_qmax=qp_proj.a_qmax, postgelu=False, in_q="q8",
+                   float_dtype=x.dtype)
+    if yw is None:
+        return None
+    y = window_reverse(yw, ws, res, res)
+    if shift > 0:
+        y = jnp.roll(y, (shift, shift), axis=(1, 2))
+    x = x + y.reshape(B, T, C)
+
     # LN2 -> fc1 -> GELU -> twin-pack (int8) -> fc2 (twin input)
     z_q = q8_linear(x, w_fc1[0], w_fc1[1], mlp["fc1"]["bias"],
                     qp_fc1.a_interval[0, 0], None,

@@ -231,6 +231,62 @@ def test_fused_swin_window_attention_matches_int8(rng):
                                atol=2e-3 * np.abs(ref_l).max())
 
 
+def test_fused_swin_block_path_matches_int8(rng):
+    """Whole-Swin-block fused path (roll/partition first, LN prologues,
+    int8 qkv->window-attention->proj and fc1->fc2 handoffs) must engage for
+    an in-scope geometry and match the XLA int8 forward."""
+    import jax
+    from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
+    from ptq4vit_tpu.configs import ptq4vit
+    from ptq4vit_tpu.models import swin as swin_mod
+    from ptq4vit_tpu.models.registry import DataConfig, Net
+    from ptq4vit_tpu.ops.int8_serve import fused_swin_block
+    from tests.test_calibrator import small_cfg
+
+    # hd = 64 -> hp_n = 2; heads (2, 4) both divisible -> block path in scope
+    cfg = swin_mod.SwinConfig(name="blk_swin2", img_size=32, patch_size=4,
+                              embed_dim=128, depths=(2, 1), num_heads=(2, 4),
+                              window_size=4, num_classes=10)
+    net = Net(name=cfg.name, cfg=cfg,
+              params=swin_mod.init_params(jax.random.PRNGKey(0), cfg),
+              forward=swin_mod.forward,
+              op_inventory=swin_mod.op_inventory(cfg),
+              op_shapes=swin_mod.op_shapes(cfg),
+              data_config=DataConfig(32, 1.0, (0.5,) * 3, (0.5,) * 3))
+    x = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    qstate = HessianQuantCalibrator(net, small_cfg(ptq4vit()), x,
+                                    batch_size=2).batching_quant_calib()
+    packed = pack_weights(net.params, qstate)
+
+    # the block path must be in scope for stage 0 (shifted block included)
+    blk = net.params["layers"][0]["blocks"][1]        # the shifted block
+    p = "layers.0.blocks.1"
+    qps = {k: qstate.get(f"{p}.attn.{k}" if k in
+                         ("qkv", "matmul1", "matmul2", "proj")
+                         else f"{p}.mlp.{k}")
+           for k in ("qkv", "matmul1", "matmul2", "proj", "fc1", "fc2")}
+    from ptq4vit_tpu.models.swin import (relative_position_index,
+                                         shifted_window_mask)
+    ws, shift = cfg.block_geometry(0, 1)
+    assert shift > 0
+    rpi = relative_position_index(ws).reshape(-1)
+    bias = blk["attn"]["relative_position_bias_table"][rpi] \
+        .reshape(ws * ws, ws * ws, 2).transpose(2, 0, 1)
+    mask = shifted_window_mask(8, ws, shift)
+    xs = jnp.asarray(rng.standard_normal((2, 64, 128)).astype(np.float32))
+    got = fused_swin_block(xs, blk, qps, {}, 2, ws, shift, 8, bias, mask,
+                           cfg.ln_eps)
+    assert got is not None
+
+    # end-to-end: fused forward (block path engaged) matches XLA int8
+    ref = np.asarray(net.apply(jnp.asarray(x), qstate=qstate, int8=True))
+    out = np.asarray(net.apply(jnp.asarray(x), qstate=qstate, int8="fused",
+                               packed=packed))
+    assert (ref.argmax(-1) == out.argmax(-1)).all()
+    np.testing.assert_allclose(out, ref, rtol=1e-3,
+                               atol=2e-3 * np.abs(ref).max())
+
+
 def test_packed_fused_model_forward_matches_int8(rng):
     """End-to-end: pack_weights + int8='fused' on a tiny ViT must match the
     unpacked XLA int8 forward."""
