@@ -77,8 +77,9 @@ _W_SLAB_MAX = 4 * 2 ** 20
 # ---------------------------------------------------------------------------
 
 def _linear_kernel(scal_ref, lnw_ref, lnb_ref, x_ref, w_ref, ws_ref, b_ref,
-                   osc_ref, out_ref, *, a_qmax: int, out_qmax: int,
-                   in_mode: str, ln: bool, gelu: bool, out_q: str):
+                   osc_ref, res_ref, out_ref, *, a_qmax: int, out_qmax: int,
+                   in_mode: str, ln: bool, gelu: bool, out_q: str,
+                   residual: bool):
     a = scal_ref[0, 0]
     a_neg = scal_ref[0, 1]
     if in_mode in ("f", "f_twin"):
@@ -114,6 +115,10 @@ def _linear_kernel(scal_ref, lnw_ref, lnb_ref, x_ref, w_ref, ws_ref, b_ref,
     if gelu:
         # erf-GELU fused so the pre-activation never crosses HBM
         out = 0.5 * out * (1.0 + _erf_as(out * (2.0 ** -0.5)))
+    if residual:
+        # residual add in-epilogue: the separate x+y pass (one read + one
+        # write of the whole stream) never happens
+        out = out + res_ref[:].astype(jnp.float32)
     if out_q == "vec":
         # per-column requant for the next op (qkv -> attention handoff)
         osc = osc_ref[0, :][None, :]
@@ -147,7 +152,7 @@ def q8_linear(x, w_intT, w_scale, b, a_interval, a_neg_interval, *,
               a_qmax: int, postgelu: bool, epilogue: str = None,
               ln=None, in_q: str = None, out_q: str = None,
               out_scale=None, out_qmax: int = 128,
-              float_dtype=None, interpret: bool = None):
+              float_dtype=None, residual=None, interpret: bool = None):
     """Fused quantize->int8 matmul->rescale linear.
 
     x:        (..., K) fp32/bf16 activations, or int8 when ``in_q`` is set
@@ -162,6 +167,9 @@ def q8_linear(x, w_intT, w_scale, b, a_interval, a_neg_interval, *,
     out_q:    None | "vec" | "twin" — re-quantize the output for the next
               op; "vec" takes out_scale (N,) per-column, "twin" takes
               out_scale = (pos_interval, neg_interval)
+    residual: optional (..., N) stream added in the epilogue (the
+              transformer residual connection — saves the separate x+y
+              elementwise pass); float output only (no out_q)
     Returns (..., N) in x.dtype (int8 when out_q), or None when the layout
     is out of scope (caller falls back to the XLA int8 path).
     """
@@ -198,6 +206,9 @@ def q8_linear(x, w_intT, w_scale, b, a_interval, a_neg_interval, *,
     osc = (out_scale.astype(jnp.float32) if out_q == "vec"
            else jnp.ones((N,), jnp.float32)).reshape(1, N)
     out_dtype = jnp.int8 if out_q else (float_dtype or x.dtype)
+    has_res = residual is not None
+    res2 = (residual.reshape(M, N) if has_res
+            else jnp.zeros((1, 1), out_dtype))
     # n outermost, m fastest: the weight slab block index is constant across
     # the m sweep, so Mosaic keeps it VMEM-resident
     grid = (-(-N // BN), -(-M // BM))
@@ -205,7 +216,8 @@ def q8_linear(x, w_intT, w_scale, b, a_interval, a_neg_interval, *,
     out = pl.pallas_call(
         functools.partial(_linear_kernel, a_qmax=a_qmax, out_qmax=out_qmax,
                           in_mode=in_mode, ln=ln is not None,
-                          gelu=epilogue == "gelu", out_q=out_q),
+                          gelu=epilogue == "gelu", out_q=out_q,
+                          residual=has_res),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -223,6 +235,10 @@ def q8_linear(x, w_intT, w_scale, b, a_interval, a_neg_interval, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BN), lambda n, m: (0, n),
                          memory_space=pltpu.VMEM),
+            (pl.BlockSpec((BM, BN), lambda n, m: (m, n),
+                          memory_space=pltpu.VMEM) if has_res
+             else pl.BlockSpec((1, 1), lambda n, m: (0, 0),
+                               memory_space=pltpu.VMEM)),
         ],
         out_specs=pl.BlockSpec((BM, BN), lambda n, m: (m, n),
                                memory_space=pltpu.VMEM),
@@ -230,10 +246,11 @@ def q8_linear(x, w_intT, w_scale, b, a_interval, a_neg_interval, *,
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K * (2 if twin else 1),
             bytes_accessed=M * K * x2.dtype.itemsize + N * K
-            + M * N * (1 if out_q else x2.dtype.itemsize),
+            + M * N * (1 if out_q else x2.dtype.itemsize)
+            * (2 if has_res else 1),
             transcendentals=M * N if epilogue == "gelu" else 0),
         interpret=interpret,
-    )(scal, lnw, lnb, x2, w_intT, ws2, b2, osc)
+    )(scal, lnw, lnb, x2, w_intT, ws2, b2, osc, res2)
     return out.reshape(lead + (N,))
 
 
@@ -726,13 +743,14 @@ def fused_vit_block(x, blk, qps, pks, heads: int, scale, ln_eps):
                               out_scale=qp_proj.a_interval[0, 0])
     if y_q is None:
         return None
+    # residual add fused into the proj epilogue (no separate x+y pass)
     y = q8_linear(y_q, w_proj[0], w_proj[1], attn["proj"]["bias"],
                   qp_proj.a_interval[0, 0], None,
                   a_qmax=qp_proj.a_qmax, postgelu=False, in_q="q8",
-                  float_dtype=x.dtype)
+                  float_dtype=x.dtype, residual=x)
     if y is None:
         return None
-    x = x + y
+    x = y
     # LN2 -> fc1 -> GELU -> twin-pack (int8) -> fc2 (twin input)
     z_q = q8_linear(x, w_fc1[0], w_fc1[1], mlp["fc1"]["bias"],
                     qp_fc1.a_interval[0, 0], None,
@@ -748,10 +766,152 @@ def fused_vit_block(x, blk, qps, pks, heads: int, scale, ln_eps):
     z = q8_linear(z_q, w_fc2[0], w_fc2[1], mlp["fc2"]["bias"],
                   qp_fc2.a_interval[0, 0], qp_fc2.a_neg_interval,
                   a_qmax=qp_fc2.a_qmax, postgelu=True, in_q="q8twin",
-                  float_dtype=x.dtype)
-    if z is None:
+                  float_dtype=x.dtype, residual=x)
+    return z
+
+
+def _win_qkv_kernel(scal_ref, lnw_ref, lnb_ref, x_ref, w_ref, ws_ref,
+                    b_ref, osc_ref, out_ref, *, a_qmax: int, ws: int,
+                    nwi: int):
+    # image-layout ROW BAND (1, ws, res, C) — one row of nwi windows; the
+    # Mosaic block constraint only binds the last two dims, so the band is
+    # readable while a single (ws, ws, C) window is not.  Windows split
+    # apart in VMEM -> LN -> quantize -> int8 qkv -> per-column requant ->
+    # window-layout (nwi, N, BN) int8
+    a = scal_ref[0, 0]
+    C = x_ref.shape[-1]
+    N = ws * ws
+    band = x_ref[0].reshape(ws, nwi, ws, C).transpose(1, 0, 2, 3)
+    x = band.reshape(nwi * N, C).astype(jnp.float32)
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=1, keepdims=True)
+    x = ((x - mu) * jax.lax.rsqrt(var + scal_ref[0, 1])
+         * lnw_ref[0, :][None, :] + lnb_ref[0, :][None, :])
+    xq = jnp.clip(jnp.round(x / a), -a_qmax, a_qmax - 1).astype(jnp.int8)
+    out = (_dot_i8(xq, w_ref[:]).astype(jnp.float32) * a
+           * ws_ref[0, :][None, :] + b_ref[0, :][None, :])
+    osc = osc_ref[0, :][None, :]
+    out_ref[:] = jnp.clip(jnp.round(out / osc), -128, 127) \
+        .astype(jnp.int8).reshape(nwi, N, -1)
+
+
+def _win_proj_kernel(scal_ref, x_ref, w_ref, ws_ref, b_ref, res_ref,
+                     out_ref, *, ws: int, nwi: int):
+    # window-layout int8 context (nwi, N, C) -> proj -> + residual (image
+    # row band) -> image-layout (1, ws, res, C): the window-reverse
+    # permutation never materializes
+    a = scal_ref[0, 0]
+    Co = out_ref.shape[-1]
+    N = ws * ws
+    acc = _dot_i8(x_ref[:].reshape(nwi * N, -1), w_ref[:]) \
+        .astype(jnp.float32) * a
+    out = acc * ws_ref[0, :][None, :] + b_ref[0, :][None, :]
+    band = out.reshape(nwi, ws, ws, Co).transpose(1, 0, 2, 3) \
+        .reshape(ws, nwi * ws, Co)
+    band = band + res_ref[0].astype(jnp.float32)
+    out_ref[0] = band.astype(out_ref.dtype)
+
+
+def _q8_win_qkv(x4, w_intT, w_scale, b, a_interval, ln, ws: int, col_scales,
+                a_qmax: int, interpret: bool):
+    """qkv over an UNSHIFTED window grid straight from the (B, res, res, C)
+    image layout (window partition folded into the read pattern)."""
+    B, res, _, C = x4.shape
+    N3 = w_intT.shape[1]
+    nwi = res // ws
+    N = ws * ws
+    scal = jnp.stack([jnp.asarray(a_interval, jnp.float32).reshape(()),
+                      jnp.asarray(ln[2], jnp.float32).reshape(())]) \
+        .reshape(1, 2)
+    lnw = ln[0].astype(jnp.float32).reshape(1, C)
+    lnb = ln[1].astype(jnp.float32).reshape(1, C)
+    ws2 = w_scale.astype(jnp.float32).reshape(1, N3)
+    b2 = (b.astype(jnp.float32) if b is not None
+          else jnp.zeros((N3,), jnp.float32)).reshape(1, N3)
+    osc = col_scales.astype(jnp.float32).reshape(1, N3)
+    band_vmem = (nwi * N * (C * 5 + N3) + ws * res * C * 4) * 2
+    if band_vmem > _VMEM_BUDGET or C * N3 > _W_SLAB_MAX * 4:
         return None
-    return x + z
+    grid = (B, nwi)
+    return pl.pallas_call(
+        functools.partial(_win_qkv_kernel, a_qmax=a_qmax, ws=ws, nwi=nwi),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C), lambda bb, wi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda bb, wi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ws, res, C), lambda bb, wi: (bb, wi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, N3), lambda bb, wi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N3), lambda bb, wi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N3), lambda bb, wi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N3), lambda bb, wi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (nwi, N, N3),
+            lambda bb, wi, _w=nwi: (bb * _w + wi, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * nwi * nwi, N, N3), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * res * res * C * N3,
+            bytes_accessed=B * res * res * C * x4.dtype.itemsize
+            + C * N3 + B * res * res * N3,
+            transcendentals=0),
+        interpret=interpret,
+    )(scal, lnw, lnb, x4, w_intT, ws2, b2, osc)
+
+
+def _q8_win_proj(y_q, w_intT, w_scale, b, a_interval, ws: int, res: int,
+                 residual4, interpret: bool):
+    """proj over window-layout int8 context, emitting the IMAGE layout with
+    the residual stream added in-kernel (reverse permutation + x+y pass
+    both folded away).  Unshifted grids only."""
+    B_, N, C = y_q.shape
+    nwi = res // ws
+    B = B_ // (nwi * nwi)
+    Co = w_intT.shape[1]
+    band_vmem = (nwi * N * (C + Co * 4) + 2 * ws * res * Co * 4) * 2
+    if band_vmem > _VMEM_BUDGET or C * Co > _W_SLAB_MAX * 4:
+        return None
+    scal = jnp.asarray(a_interval, jnp.float32).reshape(1, 1)
+    ws2 = w_scale.astype(jnp.float32).reshape(1, Co)
+    b2 = (b.astype(jnp.float32) if b is not None
+          else jnp.zeros((Co,), jnp.float32)).reshape(1, Co)
+    grid = (B, nwi)
+    return pl.pallas_call(
+        functools.partial(_win_proj_kernel, ws=ws, nwi=nwi),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((nwi, N, C),
+                         lambda bb, wi, _w=nwi: (bb * _w + wi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Co), lambda bb, wi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Co), lambda bb, wi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Co), lambda bb, wi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ws, res, Co), lambda bb, wi: (bb, wi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ws, res, Co),
+                               lambda bb, wi: (bb, wi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, res, res, Co), residual4.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B_ * N * C * Co,
+            bytes_accessed=B_ * N * C + C * Co
+            + 2 * B * res * res * Co * residual4.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(scal, y_q, w_intT, ws2, b2, residual4)
 
 
 def fused_swin_block(x, blk, qps, pks, heads: int, ws: int, shift: int,
@@ -812,37 +972,58 @@ def fused_swin_block(x, blk, qps, pks, heads: int, ws: int, shift: int,
     w_fc2 = _packed_or_compute(mlp["fc2"]["weight"], qp_fc2,
                                pks.get("fc2") or {})
 
-    # roll + window partition first (pure permutation; LN is per-token)
-    y = x.reshape(B, res, res, C)
-    if shift > 0:
-        y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-    yw = window_partition(y, ws)                          # (B*nW, N, C)
+    interpret = jax.default_backend() == "cpu"
     nW = mask.shape[0] if mask is not None else 1
-
-    # LN1 -> quantize -> int8 qkv -> per-column requant (int8 out)
-    qkv_q = q8_linear(yw, w_qkv[0], w_qkv[1], attn["qkv"]["bias"],
-                      qp_qkv.a_interval[0, 0], None,
-                      a_qmax=qp_qkv.a_qmax, postgelu=False,
-                      ln=(blk["norm1"]["weight"], blk["norm1"]["bias"],
-                          ln_eps),
-                      out_q="vec", out_scale=col_scales, out_qmax=128)
-    if qkv_q is None:
-        return None
-    y_q = fused_window_attention_qkv(qkv_q, heads, nW, qp1, qp2, s,
-                                     bias, mask, in_q8=True,
-                                     out_scale=qp_proj.a_interval[0, 0])
-    if y_q is None:
-        return None
-    yw = q8_linear(y_q, w_proj[0], w_proj[1], attn["proj"]["bias"],
-                   qp_proj.a_interval[0, 0], None,
-                   a_qmax=qp_proj.a_qmax, postgelu=False, in_q="q8",
-                   float_dtype=x.dtype)
-    if yw is None:
-        return None
-    y = window_reverse(yw, ws, res, res)
-    if shift > 0:
-        y = jnp.roll(y, (shift, shift), axis=(1, 2))
-    x = x + y.reshape(B, T, C)
+    ln1 = (blk["norm1"]["weight"], blk["norm1"]["bias"], ln_eps)
+    qkv_q = None
+    if shift == 0 and res % ws == 0 and C % 128 == 0:
+        # unshifted: the window partition is a plain rectangular tiling,
+        # so qkv reads windows straight from the image layout (one
+        # row-band of windows per grid step) and proj writes straight
+        # back with the residual added in-kernel — the partition,
+        # reverse, and x+y passes never materialize
+        x4 = x.reshape(B, res, res, C)
+        qkv_q = _q8_win_qkv(x4, w_qkv[0], w_qkv[1], attn["qkv"]["bias"],
+                            qp_qkv.a_interval[0, 0], ln1, ws, col_scales,
+                            qp_qkv.a_qmax, interpret)
+    if qkv_q is not None:
+        y_q = fused_window_attention_qkv(qkv_q, heads, nW, qp1, qp2, s,
+                                         bias, mask, in_q8=True,
+                                         out_scale=qp_proj.a_interval[0, 0])
+        if y_q is None:
+            return None
+        y4 = _q8_win_proj(y_q, w_proj[0], w_proj[1], attn["proj"]["bias"],
+                          qp_proj.a_interval[0, 0], ws, res, x4, interpret)
+        if y4 is None:
+            return None
+        x = y4.reshape(B, T, C)
+    else:
+        # shifted: roll + partition (pure permutations; LN is per-token)
+        y = x.reshape(B, res, res, C)
+        if shift > 0:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+        yw = window_partition(y, ws)                      # (B*nW, N, C)
+        qkv_q = q8_linear(yw, w_qkv[0], w_qkv[1], attn["qkv"]["bias"],
+                          qp_qkv.a_interval[0, 0], None,
+                          a_qmax=qp_qkv.a_qmax, postgelu=False, ln=ln1,
+                          out_q="vec", out_scale=col_scales, out_qmax=128)
+        if qkv_q is None:
+            return None
+        y_q = fused_window_attention_qkv(qkv_q, heads, nW, qp1, qp2, s,
+                                         bias, mask, in_q8=True,
+                                         out_scale=qp_proj.a_interval[0, 0])
+        if y_q is None:
+            return None
+        yw = q8_linear(y_q, w_proj[0], w_proj[1], attn["proj"]["bias"],
+                       qp_proj.a_interval[0, 0], None,
+                       a_qmax=qp_proj.a_qmax, postgelu=False, in_q="q8",
+                       float_dtype=x.dtype)
+        if yw is None:
+            return None
+        y = window_reverse(yw, ws, res, res)
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        x = x + y.reshape(B, T, C)
 
     # LN2 -> fc1 -> GELU -> twin-pack (int8) -> fc2 (twin input)
     z_q = q8_linear(x, w_fc1[0], w_fc1[1], mlp["fc1"]["bias"],
@@ -859,7 +1040,5 @@ def fused_swin_block(x, blk, qps, pks, heads: int, ws: int, shift: int,
     z = q8_linear(z_q, w_fc2[0], w_fc2[1], mlp["fc2"]["bias"],
                   qp_fc2.a_interval[0, 0], qp_fc2.a_neg_interval,
                   a_qmax=qp_fc2.a_qmax, postgelu=True, in_q="q8twin",
-                  float_dtype=x.dtype)
-    if z is None:
-        return None
-    return x + z
+                  float_dtype=x.dtype, residual=x)
+    return z
