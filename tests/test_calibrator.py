@@ -177,6 +177,22 @@ def test_bf16_cache_dtype(net, calib_x):
         np.testing.assert_allclose(a, b, rtol=0.35)
 
 
+def test_matmul_cohort_off_same_qstate(net, calib_x, monkeypatch):
+    """PTQ4VIT_TPU_MATMUL_COHORT=0 (per-op searches) must produce the same
+    calibrated state as the vmapped cohort path — the op axis is batched,
+    never reduced over."""
+    cfg = small_cfg(ptq4vit())
+    q_on = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4) \
+        .batching_quant_calib(verbose=False)
+    monkeypatch.setenv("PTQ4VIT_TPU_MATMUL_COHORT", "0")
+    q_off = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4) \
+        .batching_quant_calib(verbose=False)
+    for n in q_on:
+        for a, b in zip(jax.tree.leaves(q_on[n]), jax.tree.leaves(q_off[n])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
+
+
 def test_cache_dtype_defaults(net, calib_x, monkeypatch):
     """cache_dtype resolution: fp32 on the CPU backend (exact parity),
     "auto" forces bf16, and PTQ4VIT_TPU_CACHE_DTYPE overrides both ways."""

@@ -278,6 +278,22 @@ def test_fused_swin_block_path_matches_int8(rng):
                            cfg.ln_eps)
     assert got is not None
 
+    # the UNSHIFTED block must take the window-band zero-copy path
+    # (partition/reverse/residual folded into the kernels)
+    blk0 = net.params["layers"][0]["blocks"][0]
+    p0 = "layers.0.blocks.0"
+    qps0 = {k: qstate.get(f"{p0}.attn.{k}" if k in
+                          ("qkv", "matmul1", "matmul2", "proj")
+                          else f"{p0}.mlp.{k}")
+            for k in ("qkv", "matmul1", "matmul2", "proj", "fc1", "fc2")}
+    ws0, shift0 = cfg.block_geometry(0, 0)
+    assert shift0 == 0
+    bias0 = blk0["attn"]["relative_position_bias_table"][rpi] \
+        .reshape(ws0 * ws0, ws0 * ws0, 2).transpose(2, 0, 1)
+    got0 = fused_swin_block(xs, blk0, qps0, {}, 2, ws0, 0, 8, bias0, None,
+                            cfg.ln_eps)
+    assert got0 is not None
+
     # end-to-end: fused forward (block path engaged) matches XLA int8
     ref = np.asarray(net.apply(jnp.asarray(x), qstate=qstate, int8=True))
     out = np.asarray(net.apply(jnp.asarray(x), qstate=qstate, int8="fused",
