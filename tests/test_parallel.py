@@ -122,3 +122,25 @@ def test_uint8_device_normalize_eval(rng):
     b = Evaluator(net, data_config=dc).n_correct(jnp.asarray(u8),
                                                  jnp.asarray(y))
     assert a == b
+
+
+def test_mesh_fused_serving_matches_single_device(rng):
+    """ServingEngine: shard_map'd fused int8 serving over the data axis
+    must produce the same logits as the single-device fused path."""
+    from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
+    from ptq4vit_tpu.configs import ptq4vit
+    from ptq4vit_tpu.parallel import ServingEngine
+    from tests.test_calibrator import small_cfg
+    net = tiny_net()
+    calib = rng.standard_normal((8, 3, 32, 32)).astype(np.float32)
+    qstate = HessianQuantCalibrator(net, small_cfg(ptq4vit()), calib,
+                                    batch_size=4) \
+        .batching_quant_calib(verbose=False)
+    x = rng.standard_normal((8, 3, 32, 32)).astype(np.float32)
+    single = np.asarray(
+        ServingEngine(net, qstate, compute_dtype=jnp.float32)(x))
+    mesh = make_mesh(8)
+    multi = np.asarray(
+        ServingEngine(net, qstate, mesh=mesh, compute_dtype=jnp.float32)(x))
+    np.testing.assert_allclose(multi, single, rtol=1e-5,
+                               atol=1e-5 * np.abs(single).max())
