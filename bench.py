@@ -31,7 +31,10 @@ _BASELINES = {
     "swin_base_patch4_window7_224": {32: 10, 128: 23},
     "swin_base_patch4_window12_384": {32: 25, 128: 69},
 }
-BASELINE_MIN = float(_BASELINES.get(MODEL, {}).get(CALIB, 12))
+# None when the reference README published no timing for this cell —
+# vs_baseline is then reported null instead of inventing a denominator
+_b = _BASELINES.get(MODEL, {}).get(CALIB)
+BASELINE_MIN = float(_b) if _b is not None else None
 
 
 def main():
@@ -80,7 +83,8 @@ def main():
         "metric": f"ptq4vit_calib_minutes_{MODEL}_{CALIB}imgs",
         "value": round(minutes, 3),
         "unit": "min",
-        "vs_baseline": round(BASELINE_MIN / minutes, 2),
+        "vs_baseline": (round(BASELINE_MIN / minutes, 2)
+                        if BASELINE_MIN is not None else None),
         "capture_s": round(capture_s, 1),
         "search_s": round(search_s, 1),
         "target_s": round(r.target_seconds, 1),

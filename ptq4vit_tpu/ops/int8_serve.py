@@ -976,13 +976,18 @@ def fused_swin_block(x, blk, qps, pks, heads: int, ws: int, shift: int,
     nW = mask.shape[0] if mask is not None else 1
     ln1 = (blk["norm1"]["weight"], blk["norm1"]["bias"], ln_eps)
     qkv_q = None
-    if shift == 0 and res % ws == 0 and C % 128 == 0:
-        # unshifted: the window partition is a plain rectangular tiling,
-        # so qkv reads windows straight from the image layout (one
-        # row-band of windows per grid step) and proj writes straight
-        # back with the residual added in-kernel — the partition,
-        # reverse, and x+y passes never materialize
+    if res % ws == 0 and C % 128 == 0:
+        # the window partition is a plain rectangular tiling of the
+        # (possibly rolled) image, so qkv reads one row-band of windows
+        # per grid step straight from the image layout and proj writes
+        # straight back with the residual added in-kernel — partition,
+        # reverse, and x+y passes never materialize.  For shifted blocks
+        # the whole pipeline runs in ROLLED coordinates (the residual
+        # commutes with the permutation: unroll(roll(x) + y_rolled)
+        # == x + unroll(y_rolled)), leaving only roll/unroll passes.
         x4 = x.reshape(B, res, res, C)
+        if shift > 0:
+            x4 = jnp.roll(x4, (-shift, -shift), axis=(1, 2))
         qkv_q = _q8_win_qkv(x4, w_qkv[0], w_qkv[1], attn["qkv"]["bias"],
                             qp_qkv.a_interval[0, 0], ln1, ws, col_scales,
                             qp_qkv.a_qmax, interpret)
@@ -996,9 +1001,12 @@ def fused_swin_block(x, blk, qps, pks, heads: int, ws: int, shift: int,
                           qp_proj.a_interval[0, 0], ws, res, x4, interpret)
         if y4 is None:
             return None
+        if shift > 0:
+            y4 = jnp.roll(y4, (shift, shift), axis=(1, 2))
         x = y4.reshape(B, T, C)
     else:
-        # shifted: roll + partition (pure permutations; LN is per-token)
+        # out-of-scope geometry: roll + partition (pure permutations; LN
+        # is per-token), generic fused linears, explicit residual add
         y = x.reshape(B, res, res, C)
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
