@@ -25,8 +25,9 @@ def main():
     model = os.environ.get("BENCH_MODEL", "vit_base_patch16_384")
     bs = int(os.environ.get("BENCH_BS", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+    bits = int(os.environ.get("BENCH_BITS", "8"))  # 6 = the W6A6 grid half
     net = get_net(model)
-    qstate = synthetic_qstate(net, ptq4vit())
+    qstate = synthetic_qstate(net, ptq4vit().set_bits(bits, bits))
     x = jax.device_put(jnp.zeros((bs, 3, net.cfg.img_size, net.cfg.img_size),
                                  jnp.float32))
 
@@ -58,7 +59,8 @@ def main():
         p, xx, net.cfg, qstate=qstate, int8="fused", packed=packed,
         compute_dtype=jnp.bfloat16))
     print(json.dumps({
-        "metric": f"infer_images_per_s_{model}_bs{bs}",
+        "metric": f"infer_images_per_s_{model}_bs{bs}"
+                  + (f"_w{bits}a{bits}" if bits != 8 else ""),
         "fp32": round(fp32, 1),
         "bf16": round(bf16, 1),
         "fake_quant": round(fake, 1),

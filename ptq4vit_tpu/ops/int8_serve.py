@@ -31,8 +31,13 @@ ops/int8.py, so outputs match the XLA int8 path up to fp32 rescale rounding
 round an ulp apart).
 
 Scope (= everything the shipped configs produce): LinearQP with n_H == 1,
-n_a == 1, a_bit == 8, matmul QPs with per-head scales.  Anything else falls
-back to the XLA path via ``... -> None``.
+n_a == 1, a_bit <= 8, matmul QPs with per-head scales.  Sub-8-bit levels
+(the reference benchmark grid's W6A6 half, example/test_all.py:107-113)
+ride the same int8 MXU operands with the smaller qmax — every kernel is
+parameterized by the QP's qmax, only the attention handoffs additionally
+require the three matmul operand qmaxes to agree (one clip range covers
+the packed q/k/v columns).  Anything else falls back to the XLA path via
+``... -> None``.
 """
 from __future__ import annotations
 
@@ -261,7 +266,7 @@ def q8_linear(x, w_intT, w_scale, b, a_interval, a_neg_interval, *,
 def _attn_math(q_in, kt_in, v_in, a1, b1, a2, b2, split, scale, a_out, *,
                sos: bool, in_q8: bool, out_q8: bool,
                A1_qmax: int, B1_qmax: int, A2_qmax: int, B2_qmax: int,
-               extra=None):
+               O_qmax: int = 128, extra=None):
     """Shared per-head attention math: quantize -> q@kᵀ -> softmax ->
     (SoS) quantize -> @v, all in VMEM.  q_in (BM, hd), kt_in (hd, N),
     v_in (N, hd) -> (BM, hd); f32, or int8 when ``out_q8``.
@@ -303,8 +308,9 @@ def _attn_math(q_in, kt_in, v_in, a1, b1, a2, b2, split, scale, a_out, *,
         acc = pv_dot(p_int, v_int).astype(jnp.float32) * a2
     out = acc * b2
     if out_q8:
-        # re-quantize for the proj linear's int8 input
-        return jnp.clip(jnp.round(out / a_out), -128, 127).astype(jnp.int8)
+        # re-quantize for the proj linear's int8 input (its a_qmax levels)
+        return jnp.clip(jnp.round(out / a_out), -O_qmax, O_qmax - 1) \
+            .astype(jnp.int8)
     return out
 
 
@@ -383,9 +389,9 @@ def _attn_misc(qp2, sos: bool, scale, a_out=None):
                     jnp.float32).reshape(())]).reshape(1, 3)
 
 
-def _attn_flags(qp1, qp2, sos: bool):
+def _attn_flags(qp1, qp2, sos: bool, o_qmax: int = 128):
     return dict(sos=sos, A1_qmax=qp1.A_qmax, B1_qmax=qp1.B_qmax,
-                A2_qmax=qp2.A_qmax, B2_qmax=qp2.B_qmax)
+                A2_qmax=qp2.A_qmax, B2_qmax=qp2.B_qmax, O_qmax=o_qmax)
 
 
 def _attn_bm(N: int, hd: int):
@@ -458,7 +464,8 @@ def _qkv_hp(heads: int, hd: int):
 
 
 def fused_attention_qkv(qkv, heads: int, qp1, qp2, scale, *,
-                        in_q8: bool = False, out_scale=None):
+                        in_q8: bool = False, out_scale=None,
+                        out_qmax: int = 128):
     """Layout-free fused attention: reads q/v straight out of the packed
     (B, N, 3d) qkv-linear output and writes (B, N, d) — no (B,H,N,hd)
     transpose materializes in HBM (only kᵀ is staged, d/3 of the buffer).
@@ -492,7 +499,7 @@ def fused_attention_qkv(qkv, heads: int, qp1, qp2, scale, *,
     out = pl.pallas_call(
         functools.partial(_attn_kernel_qkv, hd=hd, hp_n=hp_n, in_q8=in_q8,
                           out_q8=out_scale is not None,
-                          **_attn_flags(qp1, qp2, sos)),
+                          **_attn_flags(qp1, qp2, sos, o_qmax=out_qmax)),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -548,7 +555,8 @@ def _attn_kernel_win(ph_ref, misc_ref, q_ref, kt_ref, v_ref, bias_ref,
 
 def fused_window_attention_qkv(qkv, heads: int, nW: int, qp1, qp2,
                                prescale, bias, mask, *,
-                               in_q8: bool = False, out_scale=None):
+                               in_q8: bool = False, out_scale=None,
+                               out_qmax: int = 128):
     """Fused Swin window attention from the (B_, N, 3C) qkv-linear output,
     B_ = B*nW windows: softmax(q·s @ kᵀ + bias [+ mask]) @ v per head, with
     the reference's PRE-scaled q quantization (utils/models.py:34 — q is
@@ -598,7 +606,7 @@ def fused_window_attention_qkv(qkv, heads: int, nW: int, qp1, qp2,
         functools.partial(_attn_kernel_win, hd=hd, hp_n=hp_n,
                           has_mask=has_mask, in_q8=in_q8,
                           out_q8=out_scale is not None,
-                          **_attn_flags(qp1, qp2, sos)),
+                          **_attn_flags(qp1, qp2, sos, o_qmax=out_qmax)),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -709,8 +717,10 @@ def fused_vit_block(x, blk, qps, pks, heads: int, scale, ln_eps):
         return None
     # the qkv -> attention handoff quantizes q/k/v in the qkv epilogue with
     # the attention's own head scales — one qmax must cover all sections
-    if not (qp1.A_qmax == qp1.B_qmax == qp2.B_qmax == 128):
+    # (any common level count <= 8 bits works, e.g. the W6A6 grid's 32)
+    if not (qp1.A_qmax == qp1.B_qmax == qp2.B_qmax):
         return None
+    attn_qmax = qp1.A_qmax
 
     a1 = _head_scalar(qp1.A_interval, heads)
     b1 = _head_scalar(qp1.B_interval, heads)
@@ -735,12 +745,13 @@ def fused_vit_block(x, blk, qps, pks, heads: int, scale, ln_eps):
                       a_qmax=qp_qkv.a_qmax, postgelu=False,
                       ln=(blk["norm1"]["weight"], blk["norm1"]["bias"],
                           ln_eps),
-                      out_q="vec", out_scale=col_scales, out_qmax=128)
+                      out_q="vec", out_scale=col_scales, out_qmax=attn_qmax)
     if qkv_q is None:
         return None
     # attention on the pre-quantized buffer; context requantized for proj
     y_q = fused_attention_qkv(qkv_q, heads, qp1, qp2, scale, in_q8=True,
-                              out_scale=qp_proj.a_interval[0, 0])
+                              out_scale=qp_proj.a_interval[0, 0],
+                              out_qmax=qp_proj.a_qmax)
     if y_q is None:
         return None
     # residual add fused into the proj epilogue (no separate x+y pass)
@@ -772,7 +783,7 @@ def fused_vit_block(x, blk, qps, pks, heads: int, scale, ln_eps):
 
 def _win_qkv_kernel(scal_ref, lnw_ref, lnb_ref, x_ref, w_ref, ws_ref,
                     b_ref, osc_ref, out_ref, *, a_qmax: int, ws: int,
-                    nwi: int):
+                    nwi: int, out_qmax: int):
     # image-layout ROW BAND (1, ws, res, C) — one row of nwi windows; the
     # Mosaic block constraint only binds the last two dims, so the band is
     # readable while a single (ws, ws, C) window is not.  Windows split
@@ -791,7 +802,7 @@ def _win_qkv_kernel(scal_ref, lnw_ref, lnb_ref, x_ref, w_ref, ws_ref,
     out = (_dot_i8(xq, w_ref[:]).astype(jnp.float32) * a
            * ws_ref[0, :][None, :] + b_ref[0, :][None, :])
     osc = osc_ref[0, :][None, :]
-    out_ref[:] = jnp.clip(jnp.round(out / osc), -128, 127) \
+    out_ref[:] = jnp.clip(jnp.round(out / osc), -out_qmax, out_qmax - 1) \
         .astype(jnp.int8).reshape(nwi, N, -1)
 
 
@@ -813,7 +824,7 @@ def _win_proj_kernel(scal_ref, x_ref, w_ref, ws_ref, b_ref, res_ref,
 
 
 def _q8_win_qkv(x4, w_intT, w_scale, b, a_interval, ln, ws: int, col_scales,
-                a_qmax: int, interpret: bool):
+                a_qmax: int, out_qmax: int, interpret: bool):
     """qkv over an UNSHIFTED window grid straight from the (B, res, res, C)
     image layout (window partition folded into the read pattern)."""
     B, res, _, C = x4.shape
@@ -834,7 +845,8 @@ def _q8_win_qkv(x4, w_intT, w_scale, b, a_interval, ln, ws: int, col_scales,
         return None
     grid = (B, nwi)
     return pl.pallas_call(
-        functools.partial(_win_qkv_kernel, a_qmax=a_qmax, ws=ws, nwi=nwi),
+        functools.partial(_win_qkv_kernel, a_qmax=a_qmax, ws=ws, nwi=nwi,
+                          out_qmax=out_qmax),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -951,8 +963,9 @@ def fused_swin_block(x, blk, qps, pks, heads: int, ws: int, shift: int,
     scoped = _attn_scope(qp1, qp2, heads, hd)
     if _qkv_hp(heads, hd) is None or scoped is None or _attn_bm(N, hd) < N:
         return None
-    if not (qp1.A_qmax == qp1.B_qmax == qp2.B_qmax == 128):
-        return None
+    if not (qp1.A_qmax == qp1.B_qmax == qp2.B_qmax):
+        return None  # one clip range must cover the packed q/k/v columns
+    attn_qmax = qp1.A_qmax
 
     s = hd ** -0.5
     a1 = _head_scalar(qp1.A_interval, heads) / jnp.float32(s)
@@ -990,11 +1003,12 @@ def fused_swin_block(x, blk, qps, pks, heads: int, ws: int, shift: int,
             x4 = jnp.roll(x4, (-shift, -shift), axis=(1, 2))
         qkv_q = _q8_win_qkv(x4, w_qkv[0], w_qkv[1], attn["qkv"]["bias"],
                             qp_qkv.a_interval[0, 0], ln1, ws, col_scales,
-                            qp_qkv.a_qmax, interpret)
+                            qp_qkv.a_qmax, attn_qmax, interpret)
     if qkv_q is not None:
         y_q = fused_window_attention_qkv(qkv_q, heads, nW, qp1, qp2, s,
                                          bias, mask, in_q8=True,
-                                         out_scale=qp_proj.a_interval[0, 0])
+                                         out_scale=qp_proj.a_interval[0, 0],
+                                         out_qmax=qp_proj.a_qmax)
         if y_q is None:
             return None
         y4 = _q8_win_proj(y_q, w_proj[0], w_proj[1], attn["proj"]["bias"],
@@ -1014,12 +1028,14 @@ def fused_swin_block(x, blk, qps, pks, heads: int, ws: int, shift: int,
         qkv_q = q8_linear(yw, w_qkv[0], w_qkv[1], attn["qkv"]["bias"],
                           qp_qkv.a_interval[0, 0], None,
                           a_qmax=qp_qkv.a_qmax, postgelu=False, ln=ln1,
-                          out_q="vec", out_scale=col_scales, out_qmax=128)
+                          out_q="vec", out_scale=col_scales,
+                          out_qmax=attn_qmax)
         if qkv_q is None:
             return None
         y_q = fused_window_attention_qkv(qkv_q, heads, nW, qp1, qp2, s,
                                          bias, mask, in_q8=True,
-                                         out_scale=qp_proj.a_interval[0, 0])
+                                         out_scale=qp_proj.a_interval[0, 0],
+                                         out_qmax=qp_proj.a_qmax)
         if y_q is None:
             return None
         yw = q8_linear(y_q, w_proj[0], w_proj[1], attn["proj"]["bias"],

@@ -112,10 +112,16 @@ def test_fused_attention_qkv_matches_generic(rng):
                                atol=2e-5 * np.abs(ref).max())
 
 
-def test_fused_vit_block_path_matches_int8(rng):
+import pytest
+
+
+@pytest.mark.parametrize("bits", [8, 6])
+def test_fused_vit_block_path_matches_int8(rng, bits):
     """Whole-block fusion (LN prologues + int8 handoffs) on a ViT whose
     dims satisfy the kernel constraints (hd=64, heads even) must match the
-    XLA int8 forward, and must actually take the block fast path."""
+    XLA int8 forward, and must actually take the block fast path — at W8A8
+    AND at the reference grid's W6A6 half (example/test_all.py:107-113):
+    6-bit levels ride the same int8 operands with qmax 32."""
     import jax
     from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
     from ptq4vit_tpu.configs import ptq4vit
@@ -134,8 +140,9 @@ def test_fused_vit_block_path_matches_int8(rng):
               op_shapes=vit_mod.op_shapes(cfg),
               data_config=DataConfig(32, 1.0, (0.5,) * 3, (0.5,) * 3))
     x = rng.standard_normal((4, 3, 32, 32)).astype(np.float32)
-    qstate = HessianQuantCalibrator(net, small_cfg(ptq4vit()), x,
-                                    batch_size=2).batching_quant_calib()
+    qstate = HessianQuantCalibrator(
+        net, small_cfg(ptq4vit()).set_bits(bits, bits), x,
+        batch_size=2).batching_quant_calib()
     packed = pack_weights(net.params, qstate)
 
     # the block fast path must be in scope for these dims
@@ -231,10 +238,12 @@ def test_fused_swin_window_attention_matches_int8(rng):
                                atol=2e-3 * np.abs(ref_l).max())
 
 
-def test_fused_swin_block_path_matches_int8(rng):
+@pytest.mark.parametrize("bits", [8, 6])
+def test_fused_swin_block_path_matches_int8(rng, bits):
     """Whole-Swin-block fused path (roll/partition first, LN prologues,
     int8 qkv->window-attention->proj and fc1->fc2 handoffs) must engage for
-    an in-scope geometry and match the XLA int8 forward."""
+    an in-scope geometry and match the XLA int8 forward — at W8A8 AND at
+    W6A6 (the reference grid's other half)."""
     import jax
     from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
     from ptq4vit_tpu.configs import ptq4vit
@@ -254,8 +263,9 @@ def test_fused_swin_block_path_matches_int8(rng):
               op_shapes=swin_mod.op_shapes(cfg),
               data_config=DataConfig(32, 1.0, (0.5,) * 3, (0.5,) * 3))
     x = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
-    qstate = HessianQuantCalibrator(net, small_cfg(ptq4vit()), x,
-                                    batch_size=2).batching_quant_calib()
+    qstate = HessianQuantCalibrator(
+        net, small_cfg(ptq4vit()).set_bits(bits, bits), x,
+        batch_size=2).batching_quant_calib()
     packed = pack_weights(net.params, qstate)
 
     # the block path must be in scope for stage 0 (shifted block included)
