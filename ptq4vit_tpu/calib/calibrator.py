@@ -99,11 +99,16 @@ class CalibReport:
     postfix/print logging, quant_calib.py:316-318)."""
     model: str
     config: str
-    capture_seconds: float = 0.0
+    capture_seconds: float = 0.0   # host-side dispatch of the capture
+                                   # programs (device execution of a
+                                   # capture tail lands on the first
+                                   # search blocked after it)
     target_seconds: float = 0.0
-    sync_seconds: float = 0.0      # group-end block: absorbs async search
-                                   # device execution
+    sync_seconds: float = 0.0      # residual group-end block (~0: per-op
+                                   # blocks below attribute the device time)
     setup_seconds: float = 0.0
+    # per-op dispatch + in-order completion wait == device occupancy
+    # attribution (the device retires programs in enqueue order)
     search_seconds: Dict[str, float] = dataclasses.field(default_factory=dict)
 
     @property
@@ -274,28 +279,48 @@ class HessianQuantCalibrator:
         # so their (large) capture executables stay lean.
         target = None
 
+        # Pipeline captures with searches: group g+1's capture is DISPATCHED
+        # (executable load, H2D staging, enqueue — all host-side work, and
+        # nearly all of the measured capture wall-clock on a remote-dispatch
+        # device) while the device still executes group g's searches.  The
+        # device runs programs in enqueue order, so results are identical;
+        # the capture merely costs no wall-clock of its own.  Dual HBM
+        # residency (group g caches live until its searches finish, group
+        # g+1 caches allocated at enqueue) is paid for by halving the
+        # per-group cache budget.  PTQ4VIT_TPU_OVERLAP=0 restores the
+        # serial capture->search->block loop with the full budget.
+        overlap = (os.environ.get("PTQ4VIT_TPU_OVERLAP", "1") != "0"
+                   and self.device_resident)
+
         # group ops so each capture pass fits the cache budget
         t_setup = time.time()
         elem = 2 if self.cache_dtype is not None else 4
         sizes = _tap_bytes(net, self.calib_x.shape[0], need_grad,
                            store_raw_out=not self.device_resident,
                            elem_bytes=elem)
+        group_budget = self.cache_budget // (2 if overlap else 1)
         groups: List[List[str]] = [[]]
         acc = 0
         for name, _ in todo:
-            if groups[-1] and acc + sizes[name] > self.cache_budget:
+            if groups[-1] and acc + sizes[name] > group_budget:
                 groups.append([])
                 acc = 0
             groups[-1].append(name)
             acc += sizes[name]
+        groups = [g for g in groups if g]
+        if overlap and len(groups) == 1 and len(todo) > 1:
+            # a single group has nothing to overlap with; split it so the
+            # second half's capture dispatch hides behind the first half's
+            # searches
+            mid = (len(todo) + 1) // 2
+            groups = [[n for n, _ in todo[:mid]], [n for n, _ in todo[mid:]]]
 
         mtypes = dict(self.wrapped_modules)
         self.report.setup_seconds = time.time() - t_setup
-        for group in groups:
-            if not group:
-                continue
+
+        def dispatch_capture(group):
             t0 = time.time()
-            raw, target = capture(
+            out = capture(
                 net, self.calib_x, batch_size=self.batch_size,
                 need_grad=need_grad, probe_seed=self.probe_seed,
                 probe_sigma=self.probe_sigma, ops=group,
@@ -304,6 +329,17 @@ class HessianQuantCalibrator:
                 cache_dtype=self.cache_dtype,
                 target_probs=target, mesh=self.mesh, want_target=True)
             self.report.capture_seconds += time.time() - t0
+            return out
+
+        pending = None
+        for gi, group in enumerate(groups):
+            if pending is not None:
+                raw, target = pending
+                pending = None
+            else:
+                raw, target = dispatch_capture(group)
+            dispatched: List[List[str]] = []  # enqueue order (cohorts
+                                              # grouped), for attribution
 
             # batch same-shape matmul searches (e.g. the L identical
             # window-attention matmuls of a Swin stage) into one vmapped
@@ -317,7 +353,11 @@ class HessianQuantCalibrator:
                                          "1024")) << 20
             budget_b = int(os.environ.get("PTQ4VIT_TPU_COHORT_BUDGET_MB",
                                           "1024")) << 20
-            if self.mesh is None and cohort_on:
+            # cohorts compose with mesh sharding: the stacked op axis is a
+            # new leading dim, the sample axis stays sharded over "data"
+            # and the vmapped search's reductions psum exactly as in the
+            # per-op mesh path (qstate equality pinned in test_parallel)
+            if cohort_on:
                 cohorts: Dict[Any, List[str]] = {}
                 for name in group:
                     pol = policies[name]
@@ -357,10 +397,7 @@ class HessianQuantCalibrator:
                             self._save_ckpt(n, mtypes[n], qp)
                             self.report.search_seconds[n] = dt
                             raw[n] = None
-                        if verbose:
-                            print(f"[calib] {len(names)} x matmul batch "
-                                  f"({names[0]}...): "
-                                  f"{dt * len(names):.2f}s", flush=True)
+                        dispatched.append(names)
 
             for name in group:
                 if name in qstate:
@@ -368,17 +405,36 @@ class HessianQuantCalibrator:
                 mtype = mtypes[name]
                 t0 = time.time()
                 qp = self._search_one(name, mtype, policies[name], raw[name])
-                # searches dispatch async; per-op timing here reflects
-                # dispatch + any compile, not device occupancy
                 self.report.search_seconds[name] = time.time() - t0
                 qstate[name] = qp
                 self._save_ckpt(name, mtype, qp)
                 raw[name] = None  # free the group caches eagerly
+                dispatched.append([name])
+
+            # prefetch the NEXT group's capture while the device executes
+            # this group's (already enqueued) searches
+            if overlap and gi + 1 < len(groups):
+                pending = dispatch_capture(groups[gi + 1])
+
+            # per-op occupancy attribution: the device retires programs in
+            # enqueue order, so blocking op-by-op in that order times each
+            # search's actual device execution (the first entry also absorbs
+            # any capture tail).  This replaces the single group-end block
+            # whose lump sum hid where the time went.
+            for names in dispatched:
+                t0 = time.time()
+                jax.block_until_ready([qstate[n] for n in names])
+                dt = (time.time() - t0) / len(names)
+                for n in names:
+                    self.report.search_seconds[n] += dt
                 if verbose:
-                    print(f"[calib] {name}: "
-                          f"{self.report.search_seconds[name]:.2f}s",
+                    label = (names[0] if len(names) == 1
+                             else f"{len(names)} x matmul batch "
+                                  f"({names[0]}...)")
+                    print(f"[calib] {label}: "
+                          f"{sum(self.report.search_seconds[n] for n in names):.2f}s",
                           flush=True)
-            # block before the next group's capture reuses the HBM
+            # residual safety block (should be ~0 with attribution above)
             t0 = time.time()
             jax.block_until_ready([qstate[n] for n in group])
             self.report.sync_seconds += time.time() - t0

@@ -56,14 +56,22 @@ def _pallas_default() -> bool:
     return _jax.default_backend() != "cpu"
 
 
-# int8 candidate scoring for the matmul searches: out_sim is computed as an
-# int8xint8->int32 dot rescaled once, instead of an fp32 einsum of the fake
-# values — ~1.6x the MXU rate.  Mathematically equal, but the single fp32
-# rescale rounds differently from per-accumulation fp32 rounding, so exact
-# reference-rounding parity needs it OFF (the default); argmax agreement on
-# the parity fixtures is tested (test_search_parity).
+# int8 candidate scoring (matmul searches AND the Pallas linear scorers):
+# out_sim is computed as an int8xint8->int32 dot rescaled once, instead of
+# an fp32 einsum/dot of the fake values — ~1.6x the MXU rate.
+# Mathematically equal, but the single fp32 rescale rounds differently from
+# per-accumulation fp32 rounding, so sims (and rarely argmaxes) can shift
+# in the last ulp.  Default: ON on accelerator backends (the measured
+# interval-divergence rate is small and interval-adjacent — see README
+# parity notes + scripts/int8_score_divergence.py), OFF on CPU where the
+# torch-oracle parity tests pin exact reference rounding.
+# PTQ4VIT_TPU_INT8_SCORE=0/1 overrides either way.
 def _int8_score_default() -> bool:
-    return os.environ.get("PTQ4VIT_TPU_INT8_SCORE") == "1"
+    flag = os.environ.get("PTQ4VIT_TPU_INT8_SCORE")
+    if flag is not None:
+        return flag == "1"
+    import jax as _jax
+    return _jax.default_backend() != "cpu"
 
 
 # ---------------------------------------------------------------------------
@@ -139,9 +147,11 @@ def _quant_act_linear(x, a_interval, a_neg_interval, policy: OpPolicy):
 # linear search
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("policy", "P", "bs", "use_pallas"))
+@partial(jax.jit, static_argnames=("policy", "P", "bs", "use_pallas",
+                                  "int8_score"))
 def _linear_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
-                       P: int, bs: int, use_pallas: bool = False):
+                       P: int, bs: int, use_pallas: bool = False,
+                       int8_score: bool = False):
     """Full calibration_step2 of a linear layer (reference linear.py:536-555
     semantics) as one compiled program.
 
@@ -208,10 +218,32 @@ def _linear_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
     def score_w_pallas(w_int, a_int):
         """Fused VMEM scorer (ops/pallas_search.py): all eq_n candidates in
         one kernel, no out_sim materialization.  Same reduction up to the
-        uniform 1/(T*crb_r) factor."""
-        from ..ops.pallas_search import linear_w_hessian_sims
-        x_sim = _quant_act_linear(x, a_int, a_neg, policy).reshape(S * T, ic)
+        uniform 1/(T*crb_r) factor.  With int8 scoring (and n_a == 1 so the
+        input scale factors out), the candidate dot runs on the MXU's int8
+        ports with one fp32 rescale."""
+        from ..ops.pallas_search import (linear_w_hessian_sims,
+                                         linear_w_hessian_sims_i8)
         rawb = raw_out if b is None else raw_out - b
+        if int8_score and n_a == 1:
+            a_sc = a_int.reshape(())
+            if postgelu:
+                pos = jnp.clip(jnp.round(x / a_sc), 0, a_qmax - 1) \
+                    .astype(jnp.int8).reshape(S * T, ic)
+                neg = jnp.clip(jnp.round(x / a_neg), -a_qmax, 0) \
+                    .astype(jnp.int8).reshape(S * T, ic)
+                sims = linear_w_hessian_sims_i8(
+                    pos, neg, a_sc, a_neg, w, w_cands.reshape(eq_n, n_V),
+                    rawb.reshape(S * T, oc), raw_grad.reshape(S * T, oc),
+                    w_qmax)
+            else:
+                x_lv = jnp.clip(jnp.round(x / a_sc), -a_qmax, a_qmax - 1) \
+                    .astype(jnp.int8).reshape(S * T, ic)
+                sims = linear_w_hessian_sims_i8(
+                    x_lv, None, a_sc, None, w, w_cands.reshape(eq_n, n_V),
+                    rawb.reshape(S * T, oc), raw_grad.reshape(S * T, oc),
+                    w_qmax)
+            return sims / (T * crb_r)
+        x_sim = _quant_act_linear(x, a_int, a_neg, policy).reshape(S * T, ic)
         sims = linear_w_hessian_sims(
             x_sim, w, w_cands.reshape(eq_n, n_V), rawb.reshape(S * T, oc),
             raw_grad.reshape(S * T, oc), w_qmax)
@@ -260,10 +292,25 @@ def _linear_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
 
     def score_a_pallas(w_int):
         """Fused input-interval scorer (ops/pallas_search.py); x quantized
-        per candidate in-kernel, same reduction up to 1/(T*oc)."""
-        from ..ops.pallas_search import linear_a_hessian_sims
-        w_sim = fq.fake_quant_weight_blocked(w, w_int, w_qmax)
+        per candidate in-kernel, same reduction up to 1/(T*oc).  With int8
+        scoring (and n_H == 1 so the weight scale is per out-channel), the
+        weight ships as int8 levels + a per-channel rescale vector."""
+        from ..ops.pallas_search import (linear_a_hessian_sims,
+                                         linear_a_hessian_sims_i8)
         rawb = raw_out if b is None else raw_out - b
+        if int8_score and n_H == 1:
+            # w_int is (n_V, 1, n_H, 1) == (n_V, 1, 1, 1) here
+            w_lv = fq.int_quant(w4, w_int, w_qmax) \
+                .astype(jnp.int8).reshape(oc, ic)
+            w_sc = jnp.broadcast_to(w_int[:, 0, 0, 0][:, None],
+                                    (n_V, crb_r)).reshape(oc)
+            sims = linear_a_hessian_sims_i8(
+                x.reshape(S * T, ic), w_lv, w_sc, a_cands.reshape(eq_n),
+                rawb.reshape(S * T, oc), raw_grad.reshape(S * T, oc),
+                a_qmax, postgelu=postgelu,
+                a_neg=(fq.GELU_NEG_CLIP / a_qmax if postgelu else 0.0))
+            return sims / (T * oc)
+        w_sim = fq.fake_quant_weight_blocked(w, w_int, w_qmax)
         sims = linear_a_hessian_sims(
             x.reshape(S * T, ic), w_sim, a_cands.reshape(eq_n),
             rawb.reshape(S * T, oc), raw_grad.reshape(S * T, oc),
@@ -396,7 +443,8 @@ def search_linear(w, b, cap, policy: OpPolicy,
         P = max(1, min(policy.eq_n, budget // max(bs * T * oc * 4, 1)))
     w_int, a_int = _linear_search_jit(
         jnp.asarray(w), None if b is None else jnp.asarray(b),
-        x, raw_out, grad, policy, P, bs, use_pallas=_pallas_default())
+        x, raw_out, grad, policy, P, bs, use_pallas=_pallas_default(),
+        int8_score=_int8_score_default())
     postgelu = policy.quantizer == "postgelu_linear"
     a_qmax = fq.qmax_for_bit(policy.a_bit)
     return LinearQP(

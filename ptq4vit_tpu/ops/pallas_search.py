@@ -128,6 +128,211 @@ def linear_w_hessian_sims(x_sim, w, cands, raw_minus_bias, grad,
     return sims[:, 0] if squeeze else sims
 
 
+# ---------------------------------------------------------------------------
+# int8-scored variants: the candidate dot runs on the MXU's int8 ports
+# (~1.6x the fp32 rate on v5e) with ONE fp32 rescale after the int32
+# accumulation.  Mathematically equal to the fp32 scorer, but the single
+# rescale rounds differently from per-accumulation fp32 rounding, so sims
+# (and, rarely, argmaxes) can differ in the last ulp — gated behind the
+# int8-scoring flag (calib/search.py _int8_score_default; divergence
+# characterized in scripts/int8_score_divergence.py + README parity notes).
+# ---------------------------------------------------------------------------
+
+def _dot_i8(a, b_t):
+    """(M, K) int8 @ (N, K)ᵀ int8 -> (M, N) int32 on the MXU."""
+    return jax.lax.dot_general(
+        a, b_t, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+
+def _kernel_i8(cand_ref, scal_ref, x_ref, xn_ref, w_ref, raw_ref, g_ref,
+               out_ref, *, qmax: int, n_V: int, crb_tiles: int, twin: bool):
+    p = pl.program_id(0)
+    m = pl.program_id(1)
+    o = pl.program_id(2)
+    v = jnp.minimum(o // crb_tiles, n_V - 1)
+    delta = cand_ref[p, v]
+    a = scal_ref[0, 0]
+    w_lv = jnp.clip(jnp.round(w_ref[:] / delta), -qmax, qmax - 1) \
+        .astype(jnp.int8)
+    acc = _dot_i8(x_ref[:], w_lv).astype(jnp.float32) * (a * delta)
+    if twin:
+        a_neg = scal_ref[0, 1]
+        acc += _dot_i8(xn_ref[:], w_lv).astype(jnp.float32) * (a_neg * delta)
+    d = g_ref[:] * (raw_ref[:] - acc)
+    part = -jnp.sum(d * d)
+
+    @pl.when((m == 0) & (o == 0))
+    def _():
+        for vv in range(n_V):
+            out_ref[p, vv] = 0.0
+
+    out_ref[p, v] += part
+
+
+@functools.partial(jax.jit, static_argnames=("qmax", "interpret"))
+def linear_w_hessian_sims_i8(x_lv, x_neg_lv, a, a_neg, w, cands,
+                             raw_minus_bias, grad, qmax: int,
+                             interpret: bool = None):
+    """int8-scored weight-interval search (n_a = 1 so the input scale is a
+    scalar that factors out of the contraction).
+
+    x_lv:     (M, ic) int8 input levels (positive/full set)
+    x_neg_lv: (M, ic) int8 negative twin levels, or None (non-postgelu)
+    a, a_neg: scalar input interval(s); a_neg ignored when x_neg_lv is None
+    Other args/returns as :func:`linear_w_hessian_sims`.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    M, ic = x_lv.shape
+    oc = w.shape[0]
+    P = cands.shape[0]
+    squeeze = cands.ndim == 1
+    if squeeze:
+        cands = cands[:, None]
+    n_V = cands.shape[1]
+    twin = x_neg_lv is not None
+
+    icp = _round_up(ic, 128)
+    TM = TO = None
+    for tm, to in ((512, 256), (256, 256), (256, 128), (128, 128),
+                   (64, 128), (32, 128)):
+        if n_V > 1 and (oc // n_V) % to != 0:
+            continue
+        if (tm * icp + to * icp + 2 * tm * to) * 4 * 2 <= 10 << 20:
+            TM, TO = tm, to
+            break
+    if TM is None:
+        TM, TO = 32, 128
+    crb_tiles = (oc // n_V) // TO if n_V > 1 else 1 << 30
+    Mp, ocp = _round_up(M, TM), _round_up(oc, TO)
+    x_lv = jnp.pad(x_lv, ((0, Mp - M), (0, icp - ic)))
+    xn = (jnp.pad(x_neg_lv, ((0, Mp - M), (0, icp - ic))) if twin
+          else jnp.zeros((1, icp), jnp.int8))
+    w = jnp.pad(w, ((0, ocp - oc), (0, icp - ic)))
+    raw_minus_bias = jnp.pad(raw_minus_bias, ((0, Mp - M), (0, ocp - oc)))
+    grad = jnp.pad(grad, ((0, Mp - M), (0, ocp - oc)))
+    scal = jnp.stack([jnp.asarray(a, jnp.float32).reshape(()),
+                      jnp.asarray(a_neg if a_neg is not None else 1.0,
+                                  jnp.float32).reshape(())]).reshape(1, 2)
+
+    grid = (P, Mp // TM, ocp // TO)
+    sims = pl.pallas_call(
+        functools.partial(_kernel_i8, qmax=qmax, n_V=n_V,
+                          crb_tiles=crb_tiles, twin=twin),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TM, icp), lambda p, m, o: (m, 0),
+                         memory_space=pltpu.VMEM),
+            (pl.BlockSpec((TM, icp), lambda p, m, o: (m, 0),
+                          memory_space=pltpu.VMEM) if twin
+             else pl.BlockSpec((1, icp), lambda p, m, o: (0, 0),
+                               memory_space=pltpu.VMEM)),
+            pl.BlockSpec((TO, icp), lambda p, m, o: (o, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TO), lambda p, m, o: (m, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TO), lambda p, m, o: (m, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((P, n_V), jnp.float32),
+        interpret=interpret,
+    )(cands.astype(jnp.float32), scal, x_lv, xn, w, raw_minus_bias, grad)
+    return sims[:, 0] if squeeze else sims
+
+
+def _a_kernel_i8(cand_ref, x_ref, w_ref, ws_ref, raw_ref, g_ref, out_ref, *,
+                 a_qmax: int, postgelu: bool, a_neg: float):
+    p = pl.program_id(0)
+    m = pl.program_id(1)
+    o = pl.program_id(2)
+    delta = cand_ref[p]
+    x = x_ref[:]
+    w_lv = w_ref[:]
+    ws = ws_ref[0, :][None, :]                       # per-row-block scales
+    if postgelu:
+        pos = jnp.clip(jnp.round(x / delta), 0, a_qmax - 1).astype(jnp.int8)
+        neg = jnp.clip(jnp.round(x / a_neg), -a_qmax, 0).astype(jnp.int8)
+        acc = (_dot_i8(pos, w_lv).astype(jnp.float32) * delta
+               + _dot_i8(neg, w_lv).astype(jnp.float32) * a_neg)
+    else:
+        xq = jnp.clip(jnp.round(x / delta), -a_qmax, a_qmax - 1) \
+            .astype(jnp.int8)
+        acc = _dot_i8(xq, w_lv).astype(jnp.float32) * delta
+    out = acc * ws
+    d = g_ref[:] * (raw_ref[:] - out)
+    part = -jnp.sum(d * d)
+
+    @pl.when((m == 0) & (o == 0))
+    def _():
+        out_ref[p] = 0.0
+
+    out_ref[p] += part
+
+
+@functools.partial(jax.jit, static_argnames=("a_qmax", "postgelu",
+                                             "a_neg", "interpret"))
+def linear_a_hessian_sims_i8(x, w_lv, w_scale, cands, raw_minus_bias, grad,
+                             a_qmax: int, postgelu: bool = False,
+                             a_neg: float = 0.0, interpret: bool = None):
+    """int8-scored input-interval search (n_H = 1 so the weight scale is
+    per OUT channel and factors out of the contraction).
+
+    x:       (M, ic) RAW fp32 activations (quantized per candidate in-kernel)
+    w_lv:    (oc, ic) int8 weight levels under the current intervals
+    w_scale: (oc,) fp32 per-out-channel dequant scale (row-block interval)
+    Other args/returns as :func:`linear_a_hessian_sims`.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    M, ic = x.shape
+    oc = w_lv.shape[0]
+    P = cands.shape[0]
+    icp = _round_up(ic, 128)
+    TM = TO = None
+    for tm, to in ((512, 256), (256, 256), (256, 128), (128, 128),
+                   (64, 128), (32, 128)):
+        if (tm * icp + to * icp + 2 * tm * to) * 4 * 2 <= 10 << 20:
+            TM, TO = tm, to
+            break
+    if TM is None:
+        TM, TO = 32, 128
+    Mp, ocp = _round_up(M, TM), _round_up(oc, TO)
+    x = jnp.pad(x, ((0, Mp - M), (0, icp - ic)))
+    w_lv = jnp.pad(w_lv, ((0, ocp - oc), (0, icp - ic)))
+    w_scale = jnp.pad(w_scale.astype(jnp.float32), (0, ocp - oc)) \
+        .reshape(1, ocp)
+    raw_minus_bias = jnp.pad(raw_minus_bias, ((0, Mp - M), (0, ocp - oc)))
+    grad = jnp.pad(grad, ((0, Mp - M), (0, ocp - oc)))
+
+    grid = (P, Mp // TM, ocp // TO)
+    sims = pl.pallas_call(
+        functools.partial(_a_kernel_i8, a_qmax=a_qmax, postgelu=postgelu,
+                          a_neg=float(a_neg)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TM, icp), lambda p, m, o: (m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TO, icp), lambda p, m, o: (o, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TO), lambda p, m, o: (0, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TO), lambda p, m, o: (m, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TO), lambda p, m, o: (m, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((P,), jnp.float32),
+        interpret=interpret,
+    )(cands.astype(jnp.float32), x, w_lv, w_scale, raw_minus_bias, grad)
+    return sims
+
+
 def _a_kernel(cand_ref, x_ref, w_ref, raw_ref, g_ref, out_ref, *,
               a_qmax: int, postgelu: bool, a_neg: float):
     p = pl.program_id(0)

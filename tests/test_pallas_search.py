@@ -53,6 +53,11 @@ def test_search_linear_pallas_path_matches_xla(rng):
     w2, a2 = _linear_search_jit(*args, use_pallas=True)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-6)
+    # int8-scored fused path: same chosen intervals on these fixtures
+    # (sims differ in the last ulp; argmax flips are rare and absent here)
+    w3, a3 = _linear_search_jit(*args, use_pallas=True, int8_score=True)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w3), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a3), rtol=1e-6)
 
 
 def test_search_linear_pallas_nv3_matches_xla(rng):
@@ -78,6 +83,11 @@ def test_search_linear_pallas_nv3_matches_xla(rng):
     w2, a2 = _linear_search_jit(*args, use_pallas=True)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-6)
+    # int8-scored fused path: same chosen intervals on these fixtures
+    # (sims differ in the last ulp; argmax flips are rare and absent here)
+    w3, a3 = _linear_search_jit(*args, use_pallas=True, int8_score=True)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w3), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a3), rtol=1e-6)
 
 
 def test_pallas_tile_ok():
@@ -109,3 +119,8 @@ def test_search_postgelu_pallas_matches_xla(rng):
     w2, a2 = _linear_search_jit(*args, use_pallas=True)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-6)
+    # int8-scored fused path: same chosen intervals on these fixtures
+    # (sims differ in the last ulp; argmax flips are rare and absent here)
+    w3, a3 = _linear_search_jit(*args, use_pallas=True, int8_score=True)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w3), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a3), rtol=1e-6)

@@ -88,6 +88,30 @@ def test_mesh_calibration_matches_single_device(rng):
             q_single[n], q_mesh[n])
 
 
+def test_mesh_cohort_matches_cohort_off(rng, monkeypatch):
+    """Mesh calibration with the vmapped same-shape matmul cohorts must
+    equal the mesh per-op path (the cohort optimization previously fell
+    back under mesh; now it composes with data sharding)."""
+    from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
+    from ptq4vit_tpu.configs import ptq4vit
+    from tests.test_calibrator import small_cfg
+    net = tiny_net()
+    mesh = make_mesh(8)
+    calib = rng.standard_normal((8, 3, 32, 32)).astype(np.float32)
+    q_cohort = HessianQuantCalibrator(net, small_cfg(ptq4vit()), calib,
+                                      batch_size=8, mesh=mesh) \
+        .batching_quant_calib(verbose=False)
+    monkeypatch.setenv("PTQ4VIT_TPU_MATMUL_COHORT", "0")
+    q_per_op = HessianQuantCalibrator(net, small_cfg(ptq4vit()), calib,
+                                      batch_size=8, mesh=mesh) \
+        .batching_quant_calib(verbose=False)
+    for n in q_per_op:
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, err_msg=n),
+            q_cohort[n], q_per_op[n])
+
+
 def test_mesh_calibration_quantized_eval(rng):
     """Mesh-calibrated qstate drives a mesh-sharded quantized eval."""
     from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
