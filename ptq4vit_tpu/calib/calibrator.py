@@ -284,11 +284,14 @@ class HessianQuantCalibrator:
         # nearly all of the measured capture wall-clock on a remote-dispatch
         # device) while the device still executes group g's searches.  The
         # device runs programs in enqueue order, so results are identical;
-        # the capture merely costs no wall-clock of its own.  Dual HBM
-        # residency (group g caches live until its searches finish, group
-        # g+1 caches allocated at enqueue) is paid for by halving the
-        # per-group cache budget.  PTQ4VIT_TPU_OVERLAP=0 restores the
-        # serial capture->search->block loop with the full budget.
+        # the capture merely costs no wall-clock of its own.  Grouping
+        # keeps the FULL cache budget (a halved budget doubles the group
+        # count, and the per-group executable-load cost dominates capture —
+        # measured Swin-B/384 capture 30 s -> 95 s when halved); instead
+        # the prefetch waits until enough of the current group's searches
+        # have retired that ~half its caches are free, bounding the extra
+        # HBM residency to ~0.5x the budget.  PTQ4VIT_TPU_OVERLAP=0
+        # restores the strictly serial capture->search->block loop.
         overlap = (os.environ.get("PTQ4VIT_TPU_OVERLAP", "1") != "0"
                    and self.device_resident)
 
@@ -298,22 +301,15 @@ class HessianQuantCalibrator:
         sizes = _tap_bytes(net, self.calib_x.shape[0], need_grad,
                            store_raw_out=not self.device_resident,
                            elem_bytes=elem)
-        group_budget = self.cache_budget // (2 if overlap else 1)
         groups: List[List[str]] = [[]]
         acc = 0
         for name, _ in todo:
-            if groups[-1] and acc + sizes[name] > group_budget:
+            if groups[-1] and acc + sizes[name] > self.cache_budget:
                 groups.append([])
                 acc = 0
             groups[-1].append(name)
             acc += sizes[name]
         groups = [g for g in groups if g]
-        if overlap and len(groups) == 1 and len(todo) > 1:
-            # a single group has nothing to overlap with; split it so the
-            # second half's capture dispatch hides behind the first half's
-            # searches
-            mid = (len(todo) + 1) // 2
-            groups = [[n for n, _ in todo[:mid]], [n for n, _ in todo[mid:]]]
 
         mtypes = dict(self.wrapped_modules)
         self.report.setup_seconds = time.time() - t_setup
@@ -411,20 +407,28 @@ class HessianQuantCalibrator:
                 raw[name] = None  # free the group caches eagerly
                 dispatched.append([name])
 
-            # prefetch the NEXT group's capture while the device executes
-            # this group's (already enqueued) searches
-            if overlap and gi + 1 < len(groups):
-                pending = dispatch_capture(groups[gi + 1])
-
             # per-op occupancy attribution: the device retires programs in
             # enqueue order, so blocking op-by-op in that order times each
             # search's actual device execution (the first entry also absorbs
             # any capture tail).  This replaces the single group-end block
-            # whose lump sum hid where the time went.
+            # whose lump sum hid where the time went.  The NEXT group's
+            # capture is dispatched mid-loop, as soon as the retired
+            # searches have freed >= half this group's cache bytes: its
+            # host-side cost (executable load, H2D staging) hides behind
+            # the remaining searches' device execution while peak HBM
+            # residency stays <= ~1.5x the cache budget.
+            next_group = groups[gi + 1] if gi + 1 < len(groups) else None
+            group_bytes = sum(sizes[n] for n in group)
+            freed = 0
             for names in dispatched:
                 t0 = time.time()
                 jax.block_until_ready([qstate[n] for n in names])
                 dt = (time.time() - t0) / len(names)
+                freed += sum(sizes[n] for n in names)
+                if (overlap and next_group is not None
+                        and 2 * freed >= group_bytes):
+                    pending = dispatch_capture(next_group)
+                    next_group = None
                 for n in names:
                     self.report.search_seconds[n] += dt
                 if verbose:
@@ -438,6 +442,11 @@ class HessianQuantCalibrator:
             t0 = time.time()
             jax.block_until_ready([qstate[n] for n in group])
             self.report.sync_seconds += time.time() - t0
+            if next_group is not None:
+                # overlap off, or the loop never crossed the free-bytes
+                # threshold (e.g. nothing to search in this group): fall
+                # back to a serial capture of the next group
+                pending = dispatch_capture(next_group)
         return qstate
 
     def _replicated(self, x):
