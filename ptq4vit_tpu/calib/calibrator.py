@@ -301,10 +301,34 @@ class HessianQuantCalibrator:
         sizes = _tap_bytes(net, self.calib_x.shape[0], need_grad,
                            store_raw_out=not self.device_resident,
                            elem_bytes=elem)
+        cache_budget = self.cache_budget
+        if self.device_resident:
+            # HBM headroom planner: the steady-state peak is
+            #   the prefetched next group (<= budget) + what remains of the
+            #     current one (<= 0.5x budget at the overlap trigger), so
+            #     <= 1.5x budget of caches
+            #   + the in-flight search's working set (the op's caches cast
+            #     to fp32, the recomputed raw_out, the probe grad — exactly
+            #     _tap_bytes at elem=4 with out stored — plus the
+            #     candidate-chunk out_sim scratch)
+            #   + the capture fwd+bwd workspace (~1 GB at micro-batch 4).
+            # At 32 calib imgs the per-op working sets are small and this
+            # leaves the budget unchanged; at 128 imgs the ViT-B/384
+            # attention matmuls materialize ~6.5 GB per search and the
+            # budget must shrink to fit (measured OOM at the static 8 GB).
+            work = _tap_bytes(net, self.calib_x.shape[0], need_grad,
+                              store_raw_out=True, elem_bytes=4)
+            scratch = min(self.search_budget, S.DEFAULT_BUDGET)
+            search_set = (max(work.values()) if work else 0) + scratch
+            hbm = float(os.environ.get("PTQ4VIT_TPU_HBM_GB", "16")) * (1 << 30)
+            usable = hbm * 0.85 - search_set - (1 << 30)
+            cache_budget = max(1 << 30,
+                               min(cache_budget,
+                                   int(usable / (1.5 if overlap else 1.05))))
         groups: List[List[str]] = [[]]
         acc = 0
         for name, _ in todo:
-            if groups[-1] and acc + sizes[name] > self.cache_budget:
+            if groups[-1] and acc + sizes[name] > cache_budget:
                 groups.append([])
                 acc = 0
             groups[-1].append(name)
@@ -354,6 +378,7 @@ class HessianQuantCalibrator:
             # and the vmapped search's reductions psum exactly as in the
             # per-op mesh path (qstate equality pinned in test_parallel)
             if cohort_on:
+                pallas_on = S._pallas_default()
                 cohorts: Dict[Any, List[str]] = {}
                 for name in group:
                     pol = policies[name]
@@ -363,6 +388,17 @@ class HessianQuantCalibrator:
                     if "qmatmul" not in mtypes[name] or blocked:
                         continue
                     cap = raw[name]
+                    if (pallas_on and self.mesh is None
+                            and pol.metric == "hessian"
+                            and cap.out is None and cap.grad is not None):
+                        # the per-op fused Pallas scorer beats the vmapped
+                        # XLA cohort on these ops (measured Swin-B/384
+                        # 0.76 vs 1.01 min, ViT-B/384 0.46 vs 0.71 — one
+                        # cache pass for ALL candidates vs per-chunk HBM
+                        # round-trips); leave them to the per-op path.
+                        # Mesh calibration keeps cohorts: pallas_call does
+                        # not partition over the data axis.
+                        continue
                     key = (mtypes[name], pol, cap.inputs["a"].shape,
                            cap.inputs["b"].shape, cap.out is not None,
                            cap.grad is not None)
@@ -380,7 +416,21 @@ class HessianQuantCalibrator:
                               for a in [c0.inputs["a"], c0.inputs["b"]]
                               + ([c0.grad] if c0.grad is not None else [])
                               + ([c0.out] if c0.out is not None else []))
-                    lc = max(2, int(stack_b // max(per, 1)))
+                    lc = int(stack_b // max(per, 1))
+                    if lc < 2:
+                        if 2 * per > 3 * stack_b // 2:
+                            # one op's caches alone bust the stack bound
+                            # (e.g. the 577x577 ViT-B/384 attention matmuls
+                            # at 128 calib imgs, ~2.5 GB fp32 each): even a
+                            # pair would OOM on top of the resident group,
+                            # so leave the whole cohort to the per-op path
+                            # below (whose candidate chunking stays inside
+                            # search_budget)
+                            continue
+                        # a pair overshoots the bound by <= 1.5x: accept it
+                        # (measured safe — this is the 32-img ViT-B/384
+                        # regime, where pairing halves dispatch count)
+                        lc = 2
                     for st in range(0, len(all_names), lc):
                         names = all_names[st:st + lc]
                         t0 = time.time()

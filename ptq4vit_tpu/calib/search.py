@@ -458,9 +458,11 @@ def search_linear(w, b, cap, policy: OpPolicy,
 # matmul search
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("policy", "P", "bs", "n_G", "int8_score"))
+@partial(jax.jit, static_argnames=("policy", "P", "bs", "n_G", "int8_score",
+                                  "use_pallas"))
 def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
-                       P: int, bs: int, n_G: int, int8_score: bool = False):
+                       P: int, bs: int, n_G: int, int8_score: bool = False,
+                       use_pallas: bool = False):
     """Full calibration_step2 of an A@B op (reference matmul.py:565-576).
     Head-wise groups: n_G_A = n_G_B = heads (matmul.py:411-417); the shipped
     configs use n_V=n_H=1 so block grids collapse and no padding occurs.
@@ -472,6 +474,14 @@ def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
     sos = policy.quantizer == "sos_matmul"
     A_qmax = fq.qmax_for_bit(policy.a_bit)
     B_qmax = fq.qmax_for_bit(policy.b_bit)
+    # the fused Pallas scorer reads the caches in their stored dtype and
+    # casts per VMEM tile — keep pre-cast references for it
+    A_raw, B_raw, grad_raw = A, B, raw_grad
+    use_pallas = (use_pallas and not (policy.n_V_A != 1 or policy.n_H_A != 1
+                                      or policy.n_V_B != 1
+                                      or policy.n_H_B != 1)
+                  and n_G == G and policy.metric == "hessian"
+                  and raw_out is None and raw_grad is not None)
     A = A.astype(jnp.float32)
     B = B.astype(jnp.float32)
     recompute_raw = raw_out is None   # raw_out == A@B exactly; recomputing
@@ -562,6 +572,15 @@ def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
         """(eq_n, G) summed sims of A-interval candidates
         (matmul.py:483-522); SoS scores split candidates instead
         (matmul.py:600-631, B left unquantized there)."""
+        if not sos and use_pallas:
+            # fused scorer: one pass over the caches for ALL candidates
+            # (ops/pallas_search.matmul_hessian_sims); int8 rescale
+            # semantics; 1/(R*Co) restores the mean-then-sum magnitude
+            from ..ops.pallas_search import matmul_hessian_sims
+            sims = matmul_hessian_sims(
+                A_raw, B_raw, grad_raw, A_cands.reshape(eq_n, G),
+                B_int.reshape(G), "a", A_qmax, B_qmax) / (R * Co)
+            return sims.reshape(eq_n, n_G, G // n_G).mean(-1)
         if sos:
             def cand_body(_, sp):                          # scalar split
                 def batch_body(acc, inp):
@@ -629,6 +648,20 @@ def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
     def score_B(a_state, B_int):
         """(eq_n, n_G) summed sims of B-interval candidates
         (matmul.py:524-563)."""
+        if use_pallas:
+            from ..ops.pallas_search import matmul_hessian_sims
+            if sos:
+                a_int = fq.exact_div(a_state, A_qmax - 1)
+                s_hi = fq.exact_div(jnp.float32(1.0), A_qmax - 1)
+                sims = matmul_hessian_sims(
+                    A_raw, B_raw, grad_raw, B_cands.reshape(eq_n, G),
+                    jnp.ones((G,), jnp.float32), "b_sos", B_qmax, A_qmax,
+                    sos=(a_state, a_int, s_hi, a_int)) / (R * Co)
+            else:
+                sims = matmul_hessian_sims(
+                    A_raw, B_raw, grad_raw, B_cands.reshape(eq_n, G),
+                    a_state.reshape(G), "b", B_qmax, A_qmax) / (R * Co)
+            return sims.reshape(eq_n, n_G, G // n_G).mean(-1)
         if int8_score:
             # fixed A side as int8 levels (two level sets for SoS)
             if sos:
@@ -924,7 +957,8 @@ def search_matmul(cap, policy: OpPolicy,
     else:
         a_state, B_int = _matmul_search_jit(
             A, B, raw_out, grad, policy, P, bs, G,
-            int8_score=_int8_score_default())
+            int8_score=_int8_score_default(),
+            use_pallas=_pallas_default())
     A_qmax = fq.qmax_for_bit(policy.a_bit)
     if sos:
         return MatMulQP(A_interval=a_state / (A_qmax - 1), B_interval=B_int,
@@ -970,6 +1004,9 @@ def search_matmul_batch(caps, policy: OpPolicy,
     P, bs = plan_chunks(policy.eq_n, S, L * G * R * Co, budget)
 
     def one(a, b, r, g):
+        # use_pallas stays off here: the cohort path vmaps the whole
+        # search and a batched pallas_call lowering is not exercised —
+        # the XLA int8 scorer is the vmap-safe engine
         return _matmul_search_jit(a, b, r if have_raw else None,
                                   g if have_grad else None,
                                   policy, P, bs, G,

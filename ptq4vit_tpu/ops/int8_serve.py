@@ -42,6 +42,7 @@ the packed q/k/v columns).  Anything else falls back to the XLA path via
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +52,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
+
+
+def _serve_sub_default() -> int:
+    """Row sub-tiles per linear-kernel block (VPU/MXU pipelining; 1
+    restores the unpipelined body).  PTQ4VIT_TPU_SERVE_SUB overrides."""
+    flag = os.environ.get("PTQ4VIT_TPU_SERVE_SUB")
+    return int(flag) if flag is not None else 4
 
 
 def _erf_as(z):
@@ -84,60 +92,95 @@ _W_SLAB_MAX = 4 * 2 ** 20
 def _linear_kernel(scal_ref, lnw_ref, lnb_ref, x_ref, w_ref, ws_ref, b_ref,
                    osc_ref, res_ref, out_ref, *, a_qmax: int, out_qmax: int,
                    in_mode: str, ln: bool, gelu: bool, out_q: str,
-                   residual: bool):
+                   residual: bool, sub: int = 1):
     a = scal_ref[0, 0]
     a_neg = scal_ref[0, 1]
-    if in_mode in ("f", "f_twin"):
-        x = x_ref[:].astype(jnp.float32)
-        if ln:
-            # fp32-statistics LayerNorm on the raw residual row
-            # (models/common.py layer_norm) — the normalized activation
-            # never crosses HBM
-            mu = jnp.mean(x, axis=1, keepdims=True)
-            var = jnp.mean(jnp.square(x - mu), axis=1, keepdims=True)
-            x = ((x - mu) * jax.lax.rsqrt(var + scal_ref[0, 2])
-                 * lnw_ref[0, :][None, :] + lnb_ref[0, :][None, :])
-        if in_mode == "f_twin":
-            # twin-uniform post-GELU input (reference linear.py:601-607)
-            pos = jnp.clip(jnp.round(x / a), 0, a_qmax - 1).astype(jnp.int8)
-            neg = jnp.clip(jnp.round(x / a_neg), -a_qmax, 0).astype(jnp.int8)
-        else:
-            xq = jnp.clip(jnp.round(x / a), -a_qmax, a_qmax - 1) \
+
+    def prologue(xs):
+        """LN + input quantization (VPU) for one row sub-tile."""
+        if in_mode in ("f", "f_twin"):
+            x = xs.astype(jnp.float32)
+            if ln:
+                # fp32-statistics LayerNorm on the raw residual row
+                # (models/common.py layer_norm) — the normalized activation
+                # never crosses HBM
+                mu = jnp.mean(x, axis=1, keepdims=True)
+                var = jnp.mean(jnp.square(x - mu), axis=1, keepdims=True)
+                x = ((x - mu) * jax.lax.rsqrt(var + scal_ref[0, 2])
+                     * lnw_ref[0, :][None, :] + lnb_ref[0, :][None, :])
+            if in_mode == "f_twin":
+                # twin-uniform post-GELU input (reference linear.py:601-607)
+                return (jnp.clip(jnp.round(x / a), 0, a_qmax - 1)
+                        .astype(jnp.int8),
+                        jnp.clip(jnp.round(x / a_neg), -a_qmax, 0)
+                        .astype(jnp.int8))
+            return jnp.clip(jnp.round(x / a), -a_qmax, a_qmax - 1) \
                 .astype(jnp.int8)
-    elif in_mode == "q8":
-        xq = x_ref[:]
-    else:  # q8twin: packed pos+neg (disjoint support); Mosaic has no i8
+        if in_mode == "q8":
+            return xs
+        # q8twin: packed pos+neg (disjoint support); Mosaic has no i8
         # max/min, so split via i32
-        c = x_ref[:].astype(jnp.int32)
-        pos = jnp.maximum(c, 0).astype(jnp.int8)
-        neg = jnp.minimum(c, 0).astype(jnp.int8)
-    if in_mode in ("f_twin", "q8twin"):
-        acc = (_dot_i8(pos, w_ref[:]).astype(jnp.float32) * a
-               + _dot_i8(neg, w_ref[:]).astype(jnp.float32) * a_neg)
-    else:
-        acc = _dot_i8(xq, w_ref[:]).astype(jnp.float32) * a
-    out = acc * ws_ref[0, :][None, :] + b_ref[0, :][None, :]
-    if gelu:
-        # erf-GELU fused so the pre-activation never crosses HBM
-        out = 0.5 * out * (1.0 + _erf_as(out * (2.0 ** -0.5)))
-    if residual:
-        # residual add in-epilogue: the separate x+y pass (one read + one
-        # write of the whole stream) never happens
-        out = out + res_ref[:].astype(jnp.float32)
-    if out_q == "vec":
-        # per-column requant for the next op (qkv -> attention handoff)
-        osc = osc_ref[0, :][None, :]
-        out_ref[:] = jnp.clip(jnp.round(out / osc), -out_qmax, out_qmax - 1) \
-            .astype(jnp.int8)
-    elif out_q == "twin":
-        # twin-pack for the next post-GELU linear (fc1 -> fc2 handoff)
-        o_pos = scal_ref[0, 3]
-        o_neg = scal_ref[0, 4]
-        p = jnp.clip(jnp.round(out / o_pos), 0, out_qmax - 1)
-        n = jnp.clip(jnp.round(out / o_neg), -out_qmax, 0)
-        out_ref[:] = (p + n).astype(jnp.int8)
-    else:
-        out_ref[:] = out.astype(out_ref.dtype)
+        c = xs.astype(jnp.int32)
+        return (jnp.maximum(c, 0).astype(jnp.int8),
+                jnp.minimum(c, 0).astype(jnp.int8))
+
+    def matmul(qx):
+        if in_mode in ("f_twin", "q8twin"):
+            pos, neg = qx
+            return (_dot_i8(pos, w_ref[:]).astype(jnp.float32) * a
+                    + _dot_i8(neg, w_ref[:]).astype(jnp.float32) * a_neg)
+        return _dot_i8(qx, w_ref[:]).astype(jnp.float32) * a
+
+    def epilogue(acc, rs):
+        """Rescale + bias + GELU/residual + output (re)quantization (VPU)."""
+        out = acc * ws_ref[0, :][None, :] + b_ref[0, :][None, :]
+        if gelu:
+            # erf-GELU fused so the pre-activation never crosses HBM
+            out = 0.5 * out * (1.0 + _erf_as(out * (2.0 ** -0.5)))
+        if residual:
+            # residual add in-epilogue: the separate x+y pass (one read +
+            # one write of the whole stream) never happens
+            out = out + rs.astype(jnp.float32)
+        if out_q == "vec":
+            # per-column requant for the next op (qkv -> attention handoff)
+            osc = osc_ref[0, :][None, :]
+            return jnp.clip(jnp.round(out / osc), -out_qmax, out_qmax - 1) \
+                .astype(jnp.int8)
+        if out_q == "twin":
+            # twin-pack for the next post-GELU linear (fc1 -> fc2 handoff)
+            o_pos = scal_ref[0, 3]
+            o_neg = scal_ref[0, 4]
+            p = jnp.clip(jnp.round(out / o_pos), 0, out_qmax - 1)
+            n = jnp.clip(jnp.round(out / o_neg), -out_qmax, 0)
+            return (p + n).astype(jnp.int8)
+        return out.astype(out_ref.dtype)
+
+    BM = x_ref.shape[0]
+    if sub <= 1 or BM % (8 * sub) != 0:
+        out_ref[:] = epilogue(matmul(prologue(x_ref[:])),
+                              res_ref[:] if residual else None)
+        return
+    # Row-sub-tiled software pipeline: slice s's MXU dot is issued before
+    # slice s-1's epilogue, so the (independent) epilogue VPU work runs
+    # UNDER the matmul instead of after it — Mosaic's scoreboard only
+    # serializes epilogue(s) on dot(s).  Pure reordering of row-local /
+    # elementwise ops: bit-identical to the unpipelined body (sub=1).
+    # Measured on the serving roofline: the fused linears sat at 2-3.5x
+    # their pure-dot ceilings with the epilogues fully serialized.
+    bm = BM // sub
+    accs = [None] * sub
+    outs = [None] * sub
+    for s in range(sub):
+        r = slice(s * bm, (s + 1) * bm)
+        accs[s] = matmul(prologue(x_ref[r]))
+        if s > 0:
+            rp = slice((s - 1) * bm, s * bm)
+            outs[s - 1] = epilogue(accs[s - 1],
+                                   res_ref[rp] if residual else None)
+    outs[sub - 1] = epilogue(accs[sub - 1],
+                             res_ref[(sub - 1) * bm:] if residual else None)
+    for s in range(sub):
+        out_ref[s * bm:(s + 1) * bm] = outs[s]
 
 
 def _linear_tiles(M: int, K: int, N: int, x_bytes: int):
@@ -222,7 +265,7 @@ def q8_linear(x, w_intT, w_scale, b, a_interval, a_neg_interval, *,
         functools.partial(_linear_kernel, a_qmax=a_qmax, out_qmax=out_qmax,
                           in_mode=in_mode, ln=ln is not None,
                           gelu=epilogue == "gelu", out_q=out_q,
-                          residual=has_res),
+                          residual=has_res, sub=_serve_sub_default()),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

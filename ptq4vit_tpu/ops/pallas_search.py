@@ -333,6 +333,147 @@ def linear_a_hessian_sims_i8(x, w_lv, w_scale, cands, raw_minus_bias, grad,
     return sims
 
 
+# ---------------------------------------------------------------------------
+# fused matmul candidate scorer: the XLA matmul search materializes
+# out_sim = A_sim@B (P, bs, G, R, Co) in HBM per candidate chunk — for the
+# ViT-B/384 attention matmul1 at 128 calib images that is a 2 GB round-trip
+# per candidate (plan_chunks collapses to P = 1), and grad/raw are re-read
+# per chunk as well.  This kernel instead keeps ONE (sample, head) tile of
+# A/B/grad VMEM-resident, recomputes raw = A@B once per tile, and loops all
+# eq_n candidates in-kernel: HBM traffic drops from O(eq_n · S·G·R·Co) to
+# ONE pass over the caches per score call, with the per-candidate work pure
+# MXU/VPU.  int8 scoring semantics (one fp32 rescale after the int32 dot —
+# the accelerator default, calib/search.py _int8_score_default).
+#
+# Scope: hessian metric, unblocked head-wise groups (n_V = n_H = 1,
+# n_G = G — the production config), raw_out recomputed.  Reference hot
+# loop: matmul.py:483-563 in hahnyuan/PTQ4ViT.
+# ---------------------------------------------------------------------------
+
+def _mm_kernel(cand_ref, scal_ref, sos_ref, a_ref, b_ref, g_ref, out_ref, *,
+               P: int, mode: str, cand_qmax: int, fixed_qmax: int):
+    g = pl.program_id(0)
+    s = pl.program_id(1)
+    a = a_ref[0, 0].astype(jnp.float32)                    # (Rp, Cip)
+    b = b_ref[0, 0].astype(jnp.float32)                    # (Cip, Cop)
+    grad = g_ref[0, 0].astype(jnp.float32)                 # (Rp, Cop)
+    raw = jax.lax.dot_general(                             # raw = A@B exact
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # fixed operand -> int8 levels once per tile
+    if mode == "a":                                        # candidates on A
+        f_int = scal_ref[0, g]
+        fix_lv = jnp.clip(jnp.round(b / f_int), -fixed_qmax, fixed_qmax - 1) \
+            .astype(jnp.int8)
+    elif mode == "b":                                      # candidates on B
+        f_int = scal_ref[0, g]
+        fix_lv = jnp.clip(jnp.round(a / f_int), -fixed_qmax, fixed_qmax - 1) \
+            .astype(jnp.int8)
+    else:                                                  # "b_sos"
+        split = sos_ref[0, 0]
+        a_int = sos_ref[0, 1]                              # split/(qmax-1)
+        hi = jnp.clip(jnp.round(jnp.clip(a, split, 1.0) * (fixed_qmax - 1)),
+                      0, fixed_qmax - 1).astype(jnp.int8)
+        lo = jnp.clip(jnp.round(jnp.clip(a, 0.0, split) / a_int),
+                      0, fixed_qmax - 1).astype(jnp.int8)
+        s_hi = sos_ref[0, 2]                               # 1/(qmax-1)
+        s_lo = sos_ref[0, 3]                               # a_int == scale lo
+
+    def body(p, _):
+        d = cand_ref[p, g]
+        if mode == "a":
+            c_lv = jnp.clip(jnp.round(a / d), -cand_qmax, cand_qmax - 1) \
+                .astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                c_lv, fix_lv, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            out = acc.astype(jnp.float32) * (d * f_int)
+        elif mode == "b":
+            c_lv = jnp.clip(jnp.round(b / d), -cand_qmax, cand_qmax - 1) \
+                .astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                fix_lv, c_lv, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            out = acc.astype(jnp.float32) * (f_int * d)
+        else:
+            c_lv = jnp.clip(jnp.round(b / d), -cand_qmax, cand_qmax - 1) \
+                .astype(jnp.int8)
+            hi32 = jax.lax.dot_general(
+                hi, c_lv, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            lo32 = jax.lax.dot_general(
+                lo, c_lv, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            out = (hi32.astype(jnp.float32) * s_hi
+                   + lo32.astype(jnp.float32) * s_lo) * d
+        dd = grad * (raw - out)
+        part = -jnp.sum(dd * dd)
+        base = jnp.where(s == 0, 0.0, out_ref[p, g])
+        out_ref[p, g] = base + part
+        return 0
+
+    jax.lax.fori_loop(0, P, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "cand_qmax",
+                                             "fixed_qmax", "interpret"))
+def matmul_hessian_sims(A, B, grad, cands, fixed_int, mode: str,
+                        cand_qmax: int, fixed_qmax: int, sos=None,
+                        interpret: bool = None):
+    """Fused per-head matmul candidate scorer.
+
+    A:         (S, G, R, Ci) raw operand (fp32 or bf16 calib cache)
+    B:         (S, G, Ci, Co) raw operand
+    grad:      (S, G, R, Co) dL/dout probe gradient
+    cands:     (P, G) per-head candidate scales for the searched operand
+    fixed_int: (G,) per-head scale of the FIXED operand (ignored for
+               mode "b_sos", where the fixed A side is the SoS twin)
+    mode:      "a" | "b" | "b_sos" — which operand the candidates quantize
+    sos:       (split, a_int, s_hi, s_lo) scalars for "b_sos"
+    Returns (P, G) similarity sums over (samples, R, Co) — the XLA path's
+    mean-then-sum reduction times the uniform R*Co factor (argmax-equal).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    S, G, R, Ci = A.shape
+    Co = B.shape[-1]
+    P = cands.shape[0]
+    Rp, Cip, Cop = _round_up(R, 8), _round_up(Ci, 128), _round_up(Co, 128)
+    # zero padding is exact: padded grad entries contribute 0 to the sum;
+    # padded Ci columns multiply zero rows of B; round(0/d) = 0
+    A = jnp.pad(A, ((0, 0), (0, 0), (0, Rp - R), (0, Cip - Ci)))
+    B = jnp.pad(B, ((0, 0), (0, 0), (0, Cip - Ci), (0, Cop - Co)))
+    grad = jnp.pad(grad, ((0, 0), (0, 0), (0, Rp - R), (0, Cop - Co)))
+    if sos is None:
+        sos = (0.0, 1.0, 1.0, 1.0)
+    scal = (jnp.broadcast_to(fixed_int.astype(jnp.float32).reshape(-1), (G,))
+            .reshape(1, G))
+    sosv = jnp.stack([jnp.asarray(v, jnp.float32).reshape(())
+                      for v in sos]).reshape(1, 4)
+    grid = (G, S)
+    sims = pl.pallas_call(
+        functools.partial(_mm_kernel, P=P, mode=mode, cand_qmax=cand_qmax,
+                          fixed_qmax=fixed_qmax),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),         # cands (P, G)
+            pl.BlockSpec(memory_space=pltpu.SMEM),         # scal (1, G)
+            pl.BlockSpec(memory_space=pltpu.SMEM),         # sos  (1, 4)
+            pl.BlockSpec((1, 1, Rp, Cip), lambda g, s: (s, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Cip, Cop), lambda g, s: (s, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Rp, Cop), lambda g, s: (s, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((P, G), jnp.float32),
+        interpret=interpret,
+    )(cands.astype(jnp.float32), scal, sosv, A, B, grad)
+    return sims
+
+
 def _a_kernel(cand_ref, x_ref, w_ref, raw_ref, g_ref, out_ref, *,
               a_qmax: int, postgelu: bool, a_neg: float):
     p = pl.program_id(0)

@@ -193,6 +193,25 @@ def test_matmul_cohort_off_same_qstate(net, calib_x, monkeypatch):
                                        rtol=1e-6)
 
 
+def test_matmul_pallas_default_same_qstate(net, calib_x, monkeypatch):
+    """PTQ4VIT_TPU_PALLAS=1 (the accelerator default) routes hessian
+    matmuls past the cohort builder into the per-op fused Pallas scorer
+    (interpret-mode here); the calibrated state must equal the XLA int8
+    scorer's, which the fused kernel reimplements exactly."""
+    cfg = small_cfg(ptq4vit())
+    monkeypatch.setenv("PTQ4VIT_TPU_INT8_SCORE", "1")
+    q_xla = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4) \
+        .batching_quant_calib(verbose=False)
+    monkeypatch.setenv("PTQ4VIT_TPU_PALLAS", "1")
+    q_pal = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4) \
+        .batching_quant_calib(verbose=False)
+    for n in q_xla:
+        for a, b in zip(jax.tree.leaves(q_xla[n]),
+                        jax.tree.leaves(q_pal[n])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
+
+
 def test_cache_dtype_defaults(net, calib_x, monkeypatch):
     """cache_dtype resolution: fp32 on the CPU backend (exact parity),
     "auto" forces bf16, and PTQ4VIT_TPU_CACHE_DTYPE overrides both ways."""

@@ -124,3 +124,114 @@ def test_search_postgelu_pallas_matches_xla(rng):
     w3, a3 = _linear_search_jit(*args, use_pallas=True, int8_score=True)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w3), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a3), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# fused matmul scorer (matmul_hessian_sims)
+# ---------------------------------------------------------------------------
+
+def _np_mm_sims(A, B, grad, cands, fixed_int, mode, cq, fq_, sos=None):
+    """Straightforward numpy reference of the kernel's int8 semantics."""
+    S, G, R, Ci = A.shape
+    Co = B.shape[-1]
+    P = cands.shape[0]
+    sims = np.zeros((P, G), np.float32)
+    for g in range(G):
+        for s in range(S):
+            a, b, gr = A[s, g], B[s, g], grad[s, g]
+            raw = a @ b
+            for p in range(P):
+                d = cands[p, g]
+                if mode == "a":
+                    alv = np.clip(np.round(a / d), -cq, cq - 1)
+                    blv = np.clip(np.round(b / fixed_int[g]), -fq_, fq_ - 1)
+                    out = (alv @ blv) * (d * fixed_int[g])
+                elif mode == "b":
+                    alv = np.clip(np.round(a / fixed_int[g]), -fq_, fq_ - 1)
+                    blv = np.clip(np.round(b / d), -cq, cq - 1)
+                    out = (alv @ blv) * (fixed_int[g] * d)
+                else:
+                    split, a_int, s_hi, s_lo = sos
+                    hi = np.clip(np.round(np.clip(a, split, 1.0) * (fq_ - 1)),
+                                 0, fq_ - 1)
+                    lo = np.clip(np.round(np.clip(a, 0.0, split) / a_int),
+                                 0, fq_ - 1)
+                    blv = np.clip(np.round(b / d), -cq, cq - 1)
+                    out = ((hi @ blv) * s_hi + (lo @ blv) * s_lo) * d
+                dd = gr * (raw - out)
+                sims[p, g] += -np.sum(dd * dd)
+    return sims
+
+
+def test_matmul_fused_scorer_matches_numpy(rng):
+    from ptq4vit_tpu.ops.pallas_search import matmul_hessian_sims
+    S, G, R, Ci, Co, P = 3, 2, 10, 6, 7, 5
+    A = rng.standard_normal((S, G, R, Ci)).astype(np.float32)
+    B = rng.standard_normal((S, G, Ci, Co)).astype(np.float32)
+    grad = rng.standard_normal((S, G, R, Co)).astype(np.float32)
+    base = np.abs(A).max(axis=(0, 2, 3)) / 127.5
+    cands = (base[None, :] *
+             np.linspace(0.3, 1.2, P)[:, None]).astype(np.float32)
+    bint = (np.abs(B).max(axis=(0, 2, 3)) / 127.5).astype(np.float32)
+    for mode, cnds, fixed in (("a", cands, bint),
+                              ("b", (bint[None, :] * np.linspace(
+                                  0.3, 1.2, P)[:, None]).astype(np.float32),
+                               base)):
+        got = np.asarray(matmul_hessian_sims(
+            jnp.asarray(A), jnp.asarray(B), jnp.asarray(grad),
+            jnp.asarray(cnds), jnp.asarray(fixed), mode, 128, 128,
+            interpret=True))
+        ref = _np_mm_sims(A, B, grad, cnds, fixed, mode, 128, 128)
+        np.testing.assert_allclose(got, ref, rtol=1e-4)
+        assert (np.argmax(got, axis=0) == np.argmax(ref, axis=0)).all()
+
+
+def test_matmul_fused_scorer_sos_matches_numpy(rng):
+    import torch
+    from ptq4vit_tpu.ops.pallas_search import matmul_hessian_sims
+    S, G, R, Co, P = 3, 2, 10, 7, 5
+    logits = rng.standard_normal((S, G, R, R)).astype(np.float32) * 3
+    A = torch.softmax(torch.from_numpy(logits), -1).numpy()
+    B = rng.standard_normal((S, G, R, Co)).astype(np.float32)
+    grad = rng.standard_normal((S, G, R, Co)).astype(np.float32)
+    bint = (np.abs(B).max(axis=(0, 2, 3)) / 127.5).astype(np.float32)
+    cands = (bint[None, :] *
+             np.linspace(0.3, 1.2, P)[:, None]).astype(np.float32)
+    split = np.float32(1 / 2 ** 4)
+    a_int = np.float32(split / 127)
+    s_hi = np.float32(1.0 / 127)
+    sos = (split, a_int, s_hi, a_int)
+    got = np.asarray(matmul_hessian_sims(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(grad),
+        jnp.asarray(cands), jnp.ones((G,), jnp.float32), "b_sos", 128, 128,
+        sos=tuple(jnp.float32(v) for v in sos), interpret=True))
+    ref = _np_mm_sims(A, B, grad, cands, None, "b_sos", 128, 128, sos=sos)
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
+    assert (np.argmax(got, axis=0) == np.argmax(ref, axis=0)).all()
+
+
+def test_matmul_search_pallas_path_matches_xla(rng):
+    """Full matmul search with the fused scorer == the XLA int8 scorer
+    (same intervals on the parity fixtures), for both quantizers."""
+    import torch
+    from ptq4vit_tpu.calib.search import _matmul_search_jit, plan_chunks
+    from ptq4vit_tpu.configs.policy import OpPolicy
+    for quantizer in ("matmul", "sos_matmul"):
+        pol = OpPolicy(quantizer=quantizer, metric="hessian", eq_alpha=0.2,
+                       eq_beta=1.2, eq_n=8, search_round=2, a_bit=8,
+                       b_bit=8)
+        S, G, R, Ci, Co = 4, 3, 6, 5, 7
+        A = rng.standard_normal((S, G, R, Ci)).astype(np.float32)
+        if quantizer == "sos_matmul":
+            Ci = R
+            logits = rng.standard_normal((S, G, R, R)).astype(np.float32) * 3
+            A = torch.softmax(torch.from_numpy(logits), -1).numpy()
+        B = rng.standard_normal((S, G, Ci, Co)).astype(np.float32)
+        grad = rng.standard_normal((S, G, R, Co)).astype(np.float32)
+        P, bs = plan_chunks(pol.eq_n, S, G * R * Co)
+        args = (jnp.asarray(A), jnp.asarray(B), None, jnp.asarray(grad),
+                pol, P, bs, G)
+        a1, b1 = _matmul_search_jit(*args, int8_score=True)
+        a2, b2 = _matmul_search_jit(*args, use_pallas=True)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-6)
