@@ -42,7 +42,6 @@ the packed q/k/v columns).  Anything else falls back to the XLA path via
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -52,13 +51,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
-
-
-def _serve_sub_default() -> int:
-    """Row sub-tiles per linear-kernel block (VPU/MXU pipelining; 1
-    restores the unpipelined body).  PTQ4VIT_TPU_SERVE_SUB overrides."""
-    flag = os.environ.get("PTQ4VIT_TPU_SERVE_SUB")
-    return int(flag) if flag is not None else 4
 
 
 def _erf_as(z):
@@ -92,7 +84,7 @@ _W_SLAB_MAX = 4 * 2 ** 20
 def _linear_kernel(scal_ref, lnw_ref, lnb_ref, x_ref, w_ref, ws_ref, b_ref,
                    osc_ref, res_ref, out_ref, *, a_qmax: int, out_qmax: int,
                    in_mode: str, ln: bool, gelu: bool, out_q: str,
-                   residual: bool, sub: int = 1):
+                   residual: bool):
     a = scal_ref[0, 0]
     a_neg = scal_ref[0, 1]
 
@@ -155,32 +147,14 @@ def _linear_kernel(scal_ref, lnw_ref, lnb_ref, x_ref, w_ref, ws_ref, b_ref,
             return (p + n).astype(jnp.int8)
         return out.astype(out_ref.dtype)
 
-    BM = x_ref.shape[0]
-    if sub <= 1 or BM % (8 * sub) != 0:
-        out_ref[:] = epilogue(matmul(prologue(x_ref[:])),
-                              res_ref[:] if residual else None)
-        return
-    # Row-sub-tiled software pipeline: slice s's MXU dot is issued before
-    # slice s-1's epilogue, so the (independent) epilogue VPU work runs
-    # UNDER the matmul instead of after it — Mosaic's scoreboard only
-    # serializes epilogue(s) on dot(s).  Pure reordering of row-local /
-    # elementwise ops: bit-identical to the unpipelined body (sub=1).
-    # Measured on the serving roofline: the fused linears sat at 2-3.5x
-    # their pure-dot ceilings with the epilogues fully serialized.
-    bm = BM // sub
-    accs = [None] * sub
-    outs = [None] * sub
-    for s in range(sub):
-        r = slice(s * bm, (s + 1) * bm)
-        accs[s] = matmul(prologue(x_ref[r]))
-        if s > 0:
-            rp = slice((s - 1) * bm, s * bm)
-            outs[s - 1] = epilogue(accs[s - 1],
-                                   res_ref[rp] if residual else None)
-    outs[sub - 1] = epilogue(accs[sub - 1],
-                             res_ref[(sub - 1) * bm:] if residual else None)
-    for s in range(sub):
-        out_ref[s * bm:(s + 1) * bm] = outs[s]
+    # NOTE: a row-sub-tiled software pipeline (issue slice s+1's MXU dot
+    # before slice s's epilogue so the VPU work runs under the matmul) was
+    # measured at exactly 0 gain here (714.1 vs 714.5 img/s ViT-B/384) —
+    # Mosaic schedules from the dataflow graph, not program order, so the
+    # interleaving is a no-op and the VPU-bound roofline (BENCH_NOTES)
+    # stands.  Kept out of the kernel to keep the body simple.
+    out_ref[:] = epilogue(matmul(prologue(x_ref[:])),
+                          res_ref[:] if residual else None)
 
 
 def _linear_tiles(M: int, K: int, N: int, x_bytes: int):
@@ -265,7 +239,7 @@ def q8_linear(x, w_intT, w_scale, b, a_interval, a_neg_interval, *,
         functools.partial(_linear_kernel, a_qmax=a_qmax, out_qmax=out_qmax,
                           in_mode=in_mode, ln=ln is not None,
                           gelu=epilogue == "gelu", out_q=out_q,
-                          residual=has_res, sub=_serve_sub_default()),
+                          residual=has_res),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
