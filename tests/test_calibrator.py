@@ -212,6 +212,42 @@ def test_matmul_pallas_default_same_qstate(net, calib_x, monkeypatch):
                                        rtol=1e-6)
 
 
+def test_multigroup_overlap_same_qstate(net, calib_x, monkeypatch):
+    """A cache budget of 1 byte forces every op into its own capture group,
+    exercising the group planner and the capture/search overlap prefetch
+    (group g+1's capture dispatched while group g's searches retire) —
+    the calibrated state must equal the single-group run's, overlap on or
+    off."""
+    cfg = small_cfg(ptq4vit())
+    ref = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4) \
+        .batching_quant_calib(verbose=False)
+    for ov in ("1", "0"):
+        monkeypatch.setenv("PTQ4VIT_TPU_OVERLAP", ov)
+        q = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4,
+                                   cache_budget_bytes=1) \
+            .batching_quant_calib(verbose=False)
+        for n in ref:
+            for a, b in zip(jax.tree.leaves(ref[n]), jax.tree.leaves(q[n])):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-6)
+
+
+def test_hbm_planner_budget_shrink(net, calib_x, monkeypatch):
+    """PTQ4VIT_TPU_HBM_GB bounds the cache-group budget (prefetch + search
+    working set + capture workspace must fit); a tight bound must change
+    results not at all."""
+    cfg = small_cfg(ptq4vit())
+    ref = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4) \
+        .batching_quant_calib(verbose=False)
+    monkeypatch.setenv("PTQ4VIT_TPU_HBM_GB", "2")
+    q = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4) \
+        .batching_quant_calib(verbose=False)
+    for n in ref:
+        for a, b in zip(jax.tree.leaves(ref[n]), jax.tree.leaves(q[n])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
+
+
 def test_cache_dtype_defaults(net, calib_x, monkeypatch):
     """cache_dtype resolution: fp32 on the CPU backend (exact parity),
     "auto" forces bf16, and PTQ4VIT_TPU_CACHE_DTYPE overrides both ways."""
