@@ -109,6 +109,16 @@ def test_distilled_deit_forward_and_calibration(rng):
     logits = net.apply(jnp.asarray(x), qstate=qstate, int8=True)
     assert np.isfinite(np.asarray(logits)).all()
 
+    # the fused Pallas serving path must cover the distilled layout too
+    # (extra dist token -> N+1 rows; averaged twin heads stay unfused)
+    from ptq4vit_tpu.ops.pack import pack_weights
+    packed = pack_weights(net.params, qstate)
+    fused = net.apply(jnp.asarray(x), qstate=qstate, int8="fused",
+                      packed=packed)
+    ref = np.asarray(logits)
+    np.testing.assert_allclose(np.asarray(fused), ref, rtol=1e-4,
+                               atol=1e-4 * np.abs(ref).max())
+
 
 def test_vit_capture_taps_match_inventory():
     net = get_net("vit_tiny_patch16_224")
