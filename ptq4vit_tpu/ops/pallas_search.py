@@ -350,66 +350,88 @@ def linear_a_hessian_sims_i8(x, w_lv, w_scale, cands, raw_minus_bias, grad,
 # loop: matmul.py:483-563 in hahnyuan/PTQ4ViT.
 # ---------------------------------------------------------------------------
 
-def _mm_kernel(cand_ref, scal_ref, sos_ref, a_ref, b_ref, g_ref, out_ref, *,
-               P: int, mode: str, cand_qmax: int, fixed_qmax: int):
-    g = pl.program_id(0)
-    s = pl.program_id(1)
-    a = a_ref[0, 0].astype(jnp.float32)                    # (Rp, Cip)
-    b = b_ref[0, 0].astype(jnp.float32)                    # (Cip, Cop)
-    grad = g_ref[0, 0].astype(jnp.float32)                 # (Rp, Cop)
-    raw = jax.lax.dot_general(                             # raw = A@B exact
-        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+def _mm_kernel(cand_ref, scal_ref, sos_ref, a_ref, b_ref, g_ref, out_ref,
+               raw_ref, g2_ref, *fix_refs, P: int, mode: str, cand_qmax: int,
+               fixed_qmax: int, SB: int):
+    """Sample-blocked scorer step: SB (sample, head) tiles per grid step.
 
-    # fixed operand -> int8 levels once per tile
-    if mode == "a":                                        # candidates on A
+    Per step: raw = A@B, grad^2 and the FIXED operand's int8 levels are
+    computed once per sample into VMEM scratch; the candidate loop then
+    reuses them — amortizing tile DMA, scalar-loop and SMEM-RMW overhead
+    across SB samples (the un-blocked grid ran ~32k steps at Swin-B/384
+    x 128 imgs, ~3x over the padded-dot roofline).
+    """
+    g = pl.program_id(0)
+    sblk = pl.program_id(1)
+
+    def dot_f32(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def dot_i32(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    if mode in ("a", "b"):
         f_int = scal_ref[0, g]
-        fix_lv = jnp.clip(jnp.round(b / f_int), -fixed_qmax, fixed_qmax - 1) \
-            .astype(jnp.int8)
-    elif mode == "b":                                      # candidates on B
-        f_int = scal_ref[0, g]
-        fix_lv = jnp.clip(jnp.round(a / f_int), -fixed_qmax, fixed_qmax - 1) \
-            .astype(jnp.int8)
     else:                                                  # "b_sos"
         split = sos_ref[0, 0]
         a_int = sos_ref[0, 1]                              # split/(qmax-1)
-        hi = jnp.clip(jnp.round(jnp.clip(a, split, 1.0) * (fixed_qmax - 1)),
-                      0, fixed_qmax - 1).astype(jnp.int8)
-        lo = jnp.clip(jnp.round(jnp.clip(a, 0.0, split) / a_int),
-                      0, fixed_qmax - 1).astype(jnp.int8)
         s_hi = sos_ref[0, 2]                               # 1/(qmax-1)
         s_lo = sos_ref[0, 3]                               # a_int == scale lo
 
+    # per-sample prep: raw = A@B exact, grad^2, fixed-operand int8 levels
+    for sb in range(SB):
+        a = a_ref[sb, 0].astype(jnp.float32)               # (Rp, Cip)
+        b = b_ref[sb, 0].astype(jnp.float32)               # (Cip, Cop)
+        grad = g_ref[sb, 0].astype(jnp.float32)            # (Rp, Cop)
+        raw_ref[sb] = dot_f32(a, b)
+        g2_ref[sb] = grad * grad
+        if mode == "a":                                    # candidates on A
+            fix_refs[0][sb] = jnp.clip(
+                jnp.round(b / f_int), -fixed_qmax, fixed_qmax - 1) \
+                .astype(jnp.int8)
+        elif mode == "b":                                  # candidates on B
+            fix_refs[0][sb] = jnp.clip(
+                jnp.round(a / f_int), -fixed_qmax, fixed_qmax - 1) \
+                .astype(jnp.int8)
+        else:
+            fix_refs[0][sb] = jnp.clip(
+                jnp.round(jnp.clip(a, split, 1.0) * (fixed_qmax - 1)),
+                0, fixed_qmax - 1).astype(jnp.int8)
+            fix_refs[1][sb] = jnp.clip(
+                jnp.round(jnp.clip(a, 0.0, split) / a_int),
+                0, fixed_qmax - 1).astype(jnp.int8)
+
     def body(p, _):
         d = cand_ref[p, g]
-        if mode == "a":
-            c_lv = jnp.clip(jnp.round(a / d), -cand_qmax, cand_qmax - 1) \
-                .astype(jnp.int8)
-            acc = jax.lax.dot_general(
-                c_lv, fix_lv, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            out = acc.astype(jnp.float32) * (d * f_int)
-        elif mode == "b":
-            c_lv = jnp.clip(jnp.round(b / d), -cand_qmax, cand_qmax - 1) \
-                .astype(jnp.int8)
-            acc = jax.lax.dot_general(
-                fix_lv, c_lv, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            out = acc.astype(jnp.float32) * (f_int * d)
-        else:
-            c_lv = jnp.clip(jnp.round(b / d), -cand_qmax, cand_qmax - 1) \
-                .astype(jnp.int8)
-            hi32 = jax.lax.dot_general(
-                hi, c_lv, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            lo32 = jax.lax.dot_general(
-                lo, c_lv, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            out = (hi32.astype(jnp.float32) * s_hi
-                   + lo32.astype(jnp.float32) * s_lo) * d
-        dd = grad * (raw - out)
-        part = -jnp.sum(dd * dd)
-        base = jnp.where(s == 0, 0.0, out_ref[p, g])
+        part = jnp.float32(0.0)
+        for sb in range(SB):
+            if mode == "a":
+                c_lv = jnp.clip(jnp.round(a_ref[sb, 0].astype(jnp.float32)
+                                          / d),
+                                -cand_qmax, cand_qmax - 1).astype(jnp.int8)
+                out = dot_i32(c_lv, fix_refs[0][sb]).astype(jnp.float32) \
+                    * (d * f_int)
+            elif mode == "b":
+                c_lv = jnp.clip(jnp.round(b_ref[sb, 0].astype(jnp.float32)
+                                          / d),
+                                -cand_qmax, cand_qmax - 1).astype(jnp.int8)
+                out = dot_i32(fix_refs[0][sb], c_lv).astype(jnp.float32) \
+                    * (f_int * d)
+            else:
+                c_lv = jnp.clip(jnp.round(b_ref[sb, 0].astype(jnp.float32)
+                                          / d),
+                                -cand_qmax, cand_qmax - 1).astype(jnp.int8)
+                hi32 = dot_i32(fix_refs[0][sb], c_lv)
+                lo32 = dot_i32(fix_refs[1][sb], c_lv)
+                out = (hi32.astype(jnp.float32) * s_hi
+                       + lo32.astype(jnp.float32) * s_lo) * d
+            diff = raw_ref[sb] - out
+            part += -jnp.sum(g2_ref[sb] * diff * diff)
+        base = jnp.where(sblk == 0, 0.0, out_ref[p, g])
         out_ref[p, g] = base + part
         return 0
 
@@ -440,35 +462,59 @@ def matmul_hessian_sims(A, B, grad, cands, fixed_int, mode: str,
     Co = B.shape[-1]
     P = cands.shape[0]
     Rp, Cip, Cop = _round_up(R, 8), _round_up(Ci, 128), _round_up(Co, 128)
+
+    # sample block: amortize per-grid-step overhead under a VMEM budget
+    # (inputs double-buffered by the pipeline + per-sample scratch)
+    isz = A.dtype.itemsize
+    per_sample = ((Rp * Cip + Cip * Cop + Rp * Cop) * isz * 2   # in tiles x2
+                  + 2 * Rp * Cop * 4                            # raw + grad^2
+                  + (Rp * Cip if mode != "a" else Cip * Cop)    # fixed levels
+                  * (2 if mode == "b_sos" else 1))
+    SB = 1
+    for sb_try in (16, 8, 4, 2):
+        if sb_try * per_sample <= 24 << 20:
+            SB = sb_try
+            break
+    Sp = _round_up(S, SB)
     # zero padding is exact: padded grad entries contribute 0 to the sum;
     # padded Ci columns multiply zero rows of B; round(0/d) = 0
-    A = jnp.pad(A, ((0, 0), (0, 0), (0, Rp - R), (0, Cip - Ci)))
-    B = jnp.pad(B, ((0, 0), (0, 0), (0, Cip - Ci), (0, Cop - Co)))
-    grad = jnp.pad(grad, ((0, 0), (0, 0), (0, Rp - R), (0, Cop - Co)))
+    A = jnp.pad(A, ((0, Sp - S), (0, 0), (0, Rp - R), (0, Cip - Ci)))
+    B = jnp.pad(B, ((0, Sp - S), (0, 0), (0, Cip - Ci), (0, Cop - Co)))
+    grad = jnp.pad(grad, ((0, Sp - S), (0, 0), (0, Rp - R), (0, Cop - Co)))
     if sos is None:
         sos = (0.0, 1.0, 1.0, 1.0)
     scal = (jnp.broadcast_to(fixed_int.astype(jnp.float32).reshape(-1), (G,))
             .reshape(1, G))
     sosv = jnp.stack([jnp.asarray(v, jnp.float32).reshape(())
                       for v in sos]).reshape(1, 4)
-    grid = (G, S)
+    scratch = [pltpu.VMEM((SB, Rp, Cop), jnp.float32),     # raw
+               pltpu.VMEM((SB, Rp, Cop), jnp.float32)]     # grad^2
+    if mode == "a":
+        scratch.append(pltpu.VMEM((SB, Cip, Cop), jnp.int8))
+    elif mode == "b":
+        scratch.append(pltpu.VMEM((SB, Rp, Cip), jnp.int8))
+    else:
+        scratch += [pltpu.VMEM((SB, Rp, Cip), jnp.int8),
+                    pltpu.VMEM((SB, Rp, Cip), jnp.int8)]
+    grid = (G, Sp // SB)
     sims = pl.pallas_call(
         functools.partial(_mm_kernel, P=P, mode=mode, cand_qmax=cand_qmax,
-                          fixed_qmax=fixed_qmax),
+                          fixed_qmax=fixed_qmax, SB=SB),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),         # cands (P, G)
             pl.BlockSpec(memory_space=pltpu.SMEM),         # scal (1, G)
             pl.BlockSpec(memory_space=pltpu.SMEM),         # sos  (1, 4)
-            pl.BlockSpec((1, 1, Rp, Cip), lambda g, s: (s, g, 0, 0),
+            pl.BlockSpec((SB, 1, Rp, Cip), lambda g, s: (s, g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Cip, Cop), lambda g, s: (s, g, 0, 0),
+            pl.BlockSpec((SB, 1, Cip, Cop), lambda g, s: (s, g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Rp, Cop), lambda g, s: (s, g, 0, 0),
+            pl.BlockSpec((SB, 1, Rp, Cop), lambda g, s: (s, g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((P, G), jnp.float32),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(cands.astype(jnp.float32), scal, sosv, A, B, grad)
     return sims
