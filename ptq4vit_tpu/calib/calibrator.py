@@ -388,16 +388,17 @@ class HessianQuantCalibrator:
                     if "qmatmul" not in mtypes[name] or blocked:
                         continue
                     cap = raw[name]
-                    if (pallas_on and self.mesh is None
-                            and pol.metric == "hessian"
+                    if (pallas_on and pol.metric == "hessian"
                             and cap.out is None and cap.grad is not None):
                         # the per-op fused Pallas scorer beats the vmapped
                         # XLA cohort on these ops (measured Swin-B/384
                         # 0.76 vs 1.01 min, ViT-B/384 0.46 vs 0.71 — one
                         # cache pass for ALL candidates vs per-chunk HBM
                         # round-trips); leave them to the per-op path.
-                        # Mesh calibration keeps cohorts: pallas_call does
-                        # not partition over the data axis.
+                        # Under a mesh the scorer runs shard_map'd over the
+                        # data axis with a psum of the per-shard sims
+                        # (search._mesh_sims), so the fused path no longer
+                        # falls back to cohorts on multi-chip.
                         continue
                     key = (mtypes[name], pol, cap.inputs["a"].shape,
                            cap.inputs["b"].shape, cap.out is not None,
@@ -513,11 +514,12 @@ class HessianQuantCalibrator:
             return S.search_conv(self._replicated(w), self._replicated(b),
                                  cap, policy, self.search_budget)
         if "qmatmul" in mtype:
-            return S.search_matmul(cap, policy, self.search_budget)
+            return S.search_matmul(cap, policy, self.search_budget,
+                                   mesh=self.mesh)
         w, b = _params_for_op(self.net.params, name)
         return S.search_linear(self._replicated(w), self._replicated(b),
                                cap, policy, self.search_budget,
-                               calib_bs=self.batch_size)
+                               calib_bs=self.batch_size, mesh=self.mesh)
 
 
 # convenience alias matching the reference's base class name

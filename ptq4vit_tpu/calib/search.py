@@ -74,6 +74,32 @@ def _int8_score_default() -> bool:
     return _jax.default_backend() != "cpu"
 
 
+def _mesh_sims(mesh, fn, sharded, replicated):
+    """Run a fused Pallas scorer under a data-sharded mesh.
+
+    ``pallas_call`` is opaque to the GSPMD partitioner, so sharded caches
+    can't just flow into it under jit.  Every fused scorer reduces over the
+    sample/row axis, which is exactly the mesh's "data" axis: shard_map runs
+    the kernel on each device's local shard and a psum over "data" restores
+    the global similarity sums.  ``fn(*sharded, *replicated)`` must return
+    per-shard sims; ``sharded`` args carry samples/rows on axis 0,
+    ``replicated`` args (weights, candidates, scalars) are full-size
+    everywhere.  fp32 sums associate per-shard-then-psum instead of
+    sequentially, so sims can differ from single-device in the last ulp
+    (same class of divergence as int8 scoring — see README parity notes).
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    def f(*args):
+        return jax.lax.psum(fn(*args), "data")
+
+    return jax.shard_map(
+        f, mesh=mesh,
+        in_specs=tuple([PS("data")] * len(sharded)
+                       + [PS()] * len(replicated)),
+        out_specs=PS(), check_vma=False)(*sharded, *replicated)
+
+
 # ---------------------------------------------------------------------------
 # chunk planning (static)
 # ---------------------------------------------------------------------------
@@ -148,10 +174,10 @@ def _quant_act_linear(x, a_interval, a_neg_interval, policy: OpPolicy):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("policy", "P", "bs", "use_pallas",
-                                  "int8_score"))
+                                  "int8_score", "mesh"))
 def _linear_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
                        P: int, bs: int, use_pallas: bool = False,
-                       int8_score: bool = False):
+                       int8_score: bool = False, mesh=None):
     """Full calibration_step2 of a linear layer (reference linear.py:536-555
     semantics) as one compiled program.
 
@@ -231,22 +257,31 @@ def _linear_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
                     .astype(jnp.int8).reshape(S * T, ic)
                 neg = jnp.clip(jnp.round(x / a_neg), -a_qmax, 0) \
                     .astype(jnp.int8).reshape(S * T, ic)
-                sims = linear_w_hessian_sims_i8(
-                    pos, neg, a_sc, a_neg, w, w_cands.reshape(eq_n, n_V),
-                    rawb.reshape(S * T, oc), raw_grad.reshape(S * T, oc),
-                    w_qmax)
+                fn = lambda p_, n_, r_, g_, a_, w_, c_: \
+                    linear_w_hessian_sims_i8(p_, n_, a_, a_neg, w_, c_,
+                                             r_, g_, w_qmax)
+                sh = (pos, neg, rawb.reshape(S * T, oc),
+                      raw_grad.reshape(S * T, oc))
+                rep = (a_sc, w, w_cands.reshape(eq_n, n_V))
             else:
                 x_lv = jnp.clip(jnp.round(x / a_sc), -a_qmax, a_qmax - 1) \
                     .astype(jnp.int8).reshape(S * T, ic)
-                sims = linear_w_hessian_sims_i8(
-                    x_lv, None, a_sc, None, w, w_cands.reshape(eq_n, n_V),
-                    rawb.reshape(S * T, oc), raw_grad.reshape(S * T, oc),
-                    w_qmax)
-            return sims / (T * crb_r)
-        x_sim = _quant_act_linear(x, a_int, a_neg, policy).reshape(S * T, ic)
-        sims = linear_w_hessian_sims(
-            x_sim, w, w_cands.reshape(eq_n, n_V), rawb.reshape(S * T, oc),
-            raw_grad.reshape(S * T, oc), w_qmax)
+                fn = lambda x_, r_, g_, a_, w_, c_: \
+                    linear_w_hessian_sims_i8(x_, None, a_, None, w_, c_,
+                                             r_, g_, w_qmax)
+                sh = (x_lv, rawb.reshape(S * T, oc),
+                      raw_grad.reshape(S * T, oc))
+                rep = (a_sc, w, w_cands.reshape(eq_n, n_V))
+        else:
+            x_sim = _quant_act_linear(x, a_int, a_neg, policy) \
+                .reshape(S * T, ic)
+            fn = lambda x_, r_, g_, w_, c_: \
+                linear_w_hessian_sims(x_, w_, c_, r_, g_, w_qmax)
+            sh = (x_sim, rawb.reshape(S * T, oc),
+                  raw_grad.reshape(S * T, oc))
+            rep = (w, w_cands.reshape(eq_n, n_V))
+        sims = (_mesh_sims(mesh, fn, sh, rep) if mesh is not None
+                else fn(*sh, *rep))
         return sims / (T * crb_r)                          # eq_n, n_V
 
     def score_w(w_int, a_int, h):
@@ -298,24 +333,27 @@ def _linear_search_jit(w, b, x, raw_out, raw_grad, policy: OpPolicy,
         from ..ops.pallas_search import (linear_a_hessian_sims,
                                          linear_a_hessian_sims_i8)
         rawb = raw_out if b is None else raw_out - b
+        a_neg_f = fq.GELU_NEG_CLIP / a_qmax if postgelu else 0.0
         if int8_score and n_H == 1:
             # w_int is (n_V, 1, n_H, 1) == (n_V, 1, 1, 1) here
             w_lv = fq.int_quant(w4, w_int, w_qmax) \
                 .astype(jnp.int8).reshape(oc, ic)
             w_sc = jnp.broadcast_to(w_int[:, 0, 0, 0][:, None],
                                     (n_V, crb_r)).reshape(oc)
-            sims = linear_a_hessian_sims_i8(
-                x.reshape(S * T, ic), w_lv, w_sc, a_cands.reshape(eq_n),
-                rawb.reshape(S * T, oc), raw_grad.reshape(S * T, oc),
-                a_qmax, postgelu=postgelu,
-                a_neg=(fq.GELU_NEG_CLIP / a_qmax if postgelu else 0.0))
-            return sims / (T * oc)
-        w_sim = fq.fake_quant_weight_blocked(w, w_int, w_qmax)
-        sims = linear_a_hessian_sims(
-            x.reshape(S * T, ic), w_sim, a_cands.reshape(eq_n),
-            rawb.reshape(S * T, oc), raw_grad.reshape(S * T, oc),
-            a_qmax, postgelu=postgelu,
-            a_neg=(fq.GELU_NEG_CLIP / a_qmax if postgelu else 0.0))
+            fn = lambda x_, r_, g_, wl_, ws_, c_: linear_a_hessian_sims_i8(
+                x_, wl_, ws_, c_, r_, g_, a_qmax, postgelu=postgelu,
+                a_neg=a_neg_f)
+            rep = (w_lv, w_sc, a_cands.reshape(eq_n))
+        else:
+            w_sim = fq.fake_quant_weight_blocked(w, w_int, w_qmax)
+            fn = lambda x_, r_, g_, ws_, c_: linear_a_hessian_sims(
+                x_, ws_, c_, r_, g_, a_qmax, postgelu=postgelu,
+                a_neg=a_neg_f)
+            rep = (w_sim, a_cands.reshape(eq_n))
+        sh = (x.reshape(S * T, ic), rawb.reshape(S * T, oc),
+              raw_grad.reshape(S * T, oc))
+        sims = (_mesh_sims(mesh, fn, sh, rep) if mesh is not None
+                else fn(*sh, *rep))
         return sims / (T * oc)
 
     def score_a(w_int, a_int, a):
@@ -421,7 +459,7 @@ def _pearson_a(raw, sim):
 
 def search_linear(w, b, cap, policy: OpPolicy,
                   budget: int = DEFAULT_BUDGET,
-                  calib_bs: int = None) -> LinearQP:
+                  calib_bs: int = None, mesh=None) -> LinearQP:
     """Calibrate a linear op from captured raw data (host or device).
     ``calib_bs`` pins the batch scan chunk for the pearson metric (see
     module docstring)."""
@@ -444,7 +482,7 @@ def search_linear(w, b, cap, policy: OpPolicy,
     w_int, a_int = _linear_search_jit(
         jnp.asarray(w), None if b is None else jnp.asarray(b),
         x, raw_out, grad, policy, P, bs, use_pallas=_pallas_default(),
-        int8_score=_int8_score_default())
+        int8_score=_int8_score_default(), mesh=mesh)
     postgelu = policy.quantizer == "postgelu_linear"
     a_qmax = fq.qmax_for_bit(policy.a_bit)
     return LinearQP(
@@ -459,10 +497,10 @@ def search_linear(w, b, cap, policy: OpPolicy,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("policy", "P", "bs", "n_G", "int8_score",
-                                  "use_pallas"))
+                                  "use_pallas", "mesh"))
 def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
                        P: int, bs: int, n_G: int, int8_score: bool = False,
-                       use_pallas: bool = False):
+                       use_pallas: bool = False, mesh=None):
     """Full calibration_step2 of an A@B op (reference matmul.py:565-576).
     Head-wise groups: n_G_A = n_G_B = heads (matmul.py:411-417); the shipped
     configs use n_V=n_H=1 so block grids collapse and no padding occurs.
@@ -577,9 +615,12 @@ def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
             # (ops/pallas_search.matmul_hessian_sims); int8 rescale
             # semantics; 1/(R*Co) restores the mean-then-sum magnitude
             from ..ops.pallas_search import matmul_hessian_sims
-            sims = matmul_hessian_sims(
-                A_raw, B_raw, grad_raw, A_cands.reshape(eq_n, G),
-                B_int.reshape(G), "a", A_qmax, B_qmax) / (R * Co)
+            fn = lambda a_, b_, g_, c_, f_: matmul_hessian_sims(
+                a_, b_, g_, c_, f_, "a", A_qmax, B_qmax)
+            sh = (A_raw, B_raw, grad_raw)
+            rep = (A_cands.reshape(eq_n, G), B_int.reshape(G))
+            sims = (_mesh_sims(mesh, fn, sh, rep) if mesh is not None
+                    else fn(*sh, *rep)) / (R * Co)
             return sims.reshape(eq_n, n_G, G // n_G).mean(-1)
         if sos:
             def cand_body(_, sp):                          # scalar split
@@ -650,17 +691,21 @@ def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
         (matmul.py:524-563)."""
         if use_pallas:
             from ..ops.pallas_search import matmul_hessian_sims
+            sh = (A_raw, B_raw, grad_raw)
             if sos:
                 a_int = fq.exact_div(a_state, A_qmax - 1)
                 s_hi = fq.exact_div(jnp.float32(1.0), A_qmax - 1)
-                sims = matmul_hessian_sims(
-                    A_raw, B_raw, grad_raw, B_cands.reshape(eq_n, G),
-                    jnp.ones((G,), jnp.float32), "b_sos", B_qmax, A_qmax,
-                    sos=(a_state, a_int, s_hi, a_int)) / (R * Co)
+                fn = lambda a_, b_, g_, c_, f_, sv_: matmul_hessian_sims(
+                    a_, b_, g_, c_, f_, "b_sos", B_qmax, A_qmax,
+                    sos=(sv_[0], sv_[1], sv_[2], sv_[3]))
+                rep = (B_cands.reshape(eq_n, G), jnp.ones((G,), jnp.float32),
+                       jnp.stack([a_state, a_int, s_hi, a_int]))
             else:
-                sims = matmul_hessian_sims(
-                    A_raw, B_raw, grad_raw, B_cands.reshape(eq_n, G),
-                    a_state.reshape(G), "b", B_qmax, A_qmax) / (R * Co)
+                fn = lambda a_, b_, g_, c_, f_: matmul_hessian_sims(
+                    a_, b_, g_, c_, f_, "b", B_qmax, A_qmax)
+                rep = (B_cands.reshape(eq_n, G), a_state.reshape(G))
+            sims = (_mesh_sims(mesh, fn, sh, rep) if mesh is not None
+                    else fn(*sh, *rep)) / (R * Co)
             return sims.reshape(eq_n, n_G, G // n_G).mean(-1)
         if int8_score:
             # fixed A side as int8 levels (two level sets for SoS)
@@ -930,7 +975,7 @@ def _matmul_blocked_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
 
 
 def search_matmul(cap, policy: OpPolicy,
-                  budget: int = DEFAULT_BUDGET) -> MatMulQP:
+                  budget: int = DEFAULT_BUDGET, mesh=None) -> MatMulQP:
     """Calibrate an A@B op from captured raw data (head-wise groups).
     Accepts host or device arrays; ``cap.out=None`` recomputes raw_out as
     A@B inside the search (exact — same op, same operands)."""
@@ -958,7 +1003,7 @@ def search_matmul(cap, policy: OpPolicy,
         a_state, B_int = _matmul_search_jit(
             A, B, raw_out, grad, policy, P, bs, G,
             int8_score=_int8_score_default(),
-            use_pallas=_pallas_default())
+            use_pallas=_pallas_default(), mesh=mesh)
     A_qmax = fq.qmax_for_bit(policy.a_bit)
     if sos:
         return MatMulQP(A_interval=a_state / (A_qmax - 1), B_interval=B_int,

@@ -168,3 +168,29 @@ def test_mesh_fused_serving_matches_single_device(rng):
         ServingEngine(net, qstate, mesh=mesh, compute_dtype=jnp.float32)(x))
     np.testing.assert_allclose(multi, single, rtol=1e-5,
                                atol=1e-5 * np.abs(single).max())
+
+def test_mesh_pallas_scorers_match_single_device(rng, monkeypatch):
+    """Mesh calibration with the fused Pallas scorers forced ON must match
+    the single-device Pallas path: every scorer runs shard_map'd over the
+    data axis with a psum of per-shard sims (search._mesh_sims).  int8
+    scoring stays off so both sides use exact fp32 scorer semantics; rtol
+    covers per-shard-then-psum fp32 summation order (a wrong spec/psum
+    would shift intervals by a full ~12% grid step)."""
+    from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
+    from ptq4vit_tpu.configs import ptq4vit
+    from tests.test_calibrator import small_cfg
+    monkeypatch.setenv("PTQ4VIT_TPU_PALLAS", "1")
+    net = tiny_net()
+    calib = rng.standard_normal((8, 3, 32, 32)).astype(np.float32)
+    q_single = HessianQuantCalibrator(net, small_cfg(ptq4vit()), calib,
+                                      batch_size=8) \
+        .batching_quant_calib(verbose=False)
+    q_mesh = HessianQuantCalibrator(net, small_cfg(ptq4vit()), calib,
+                                    batch_size=8, mesh=make_mesh(8)) \
+        .batching_quant_calib(verbose=False)
+    assert set(q_single) == set(q_mesh)
+    for n in q_single:
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, err_msg=n),
+            q_single[n], q_mesh[n])
