@@ -41,8 +41,14 @@ class QuantCtx:
         self.capture = capture
         # int8=True executes quantized ops as int8 MXU matmuls (exact
         # realization of the fake-quant semantics; see ops/int8.py);
+        # int8="fused" adds the whole-block Pallas path (still exact);
+        # int8="fused_relaxed" additionally runs the fused kernels' VPU
+        # epilogues (softmax/SoS, GELU, requant rounding) in bfloat16 —
+        # NOT bit-equal to fake-quant, opt-in for serving throughput;
         # packed = resident int8 weights from ops/pack.pack_weights
         self.int8 = int8
+        self.fused = int8 in ("fused", "fused_relaxed")
+        self.relaxed = int8 == "fused_relaxed"
         self.packed = packed or {}
         self.taps: Dict[str, Dict[str, Any]] = {}
 
@@ -62,9 +68,9 @@ class QuantCtx:
             from ..ops.int8 import linear_int8
             pk = self.packed.get(name) or {}
             out = None
-            if self.int8 == "fused":
+            if self.fused:
                 from ..ops.int8_serve import fused_linear
-                out = fused_linear(x, w, b, qp, pk)
+                out = fused_linear(x, w, b, qp, pk, relaxed=self.relaxed)
             if out is None:
                 out = linear_int8(x, w, b, qp, w_intT=pk.get("w_intT"),
                                   w_scale=pk.get("w_scale"))
@@ -89,11 +95,11 @@ class QuantCtx:
         HBM).  Identical semantics to gelu(self.linear(...)) — capture/eps
         modes keep the generic path so taps record the pre-GELU output."""
         qp = self.qstate.get(name)
-        if (self.int8 == "fused" and qp is not None and not self.capture
+        if (self.fused and qp is not None and not self.capture
                 and self.eps is None):
             from ..ops.int8_serve import fused_linear
             out = fused_linear(x, w, b, qp, self.packed.get(name) or {},
-                               epilogue="gelu")
+                               epilogue="gelu", relaxed=self.relaxed)
             if out is not None:
                 return out.astype(x.dtype)
         return gelu(self.linear(name, x, w, b))
@@ -103,7 +109,7 @@ class QuantCtx:
         fused_vit_block): LN fused into the linear prologues, intermediate
         activations handed between kernels as int8.  Returns the new
         residual stream or None (caller runs the generic per-op path)."""
-        if self.int8 != "fused" or self.capture or self.eps is not None:
+        if not self.fused or self.capture or self.eps is not None:
             return None
         keys = {"qkv": f"{prefix}.attn.qkv",
                 "matmul1": f"{prefix}.attn.matmul1",
@@ -114,7 +120,8 @@ class QuantCtx:
         qps = {k: self.qstate.get(n) for k, n in keys.items()}
         pks = {k: self.packed.get(n) or {} for k, n in keys.items()}
         from ..ops.int8_serve import fused_vit_block
-        return fused_vit_block(x, blk, qps, pks, heads, scale, ln_eps)
+        return fused_vit_block(x, blk, qps, pks, heads, scale, ln_eps,
+                               relaxed=self.relaxed)
 
     def swin_block(self, prefix, x, blk, heads, ws, shift, res, bias, mask,
                    ln_eps):
@@ -122,7 +129,7 @@ class QuantCtx:
         fused_swin_block): roll/partition first, LN in the linear
         prologues, int8 handoffs qkv->window-attention->proj and
         fc1->fc2.  Returns the new residual stream or None."""
-        if self.int8 != "fused" or self.capture or self.eps is not None:
+        if not self.fused or self.capture or self.eps is not None:
             return None
         keys = {"qkv": f"{prefix}.attn.qkv",
                 "matmul1": f"{prefix}.attn.matmul1",
@@ -134,13 +141,13 @@ class QuantCtx:
         pks = {k: self.packed.get(n) or {} for k, n in keys.items()}
         from ..ops.int8_serve import fused_swin_block
         return fused_swin_block(x, blk, qps, pks, heads, ws, shift, res,
-                                bias, mask, ln_eps)
+                                bias, mask, ln_eps, relaxed=self.relaxed)
 
     def window_attention_qkv(self, name1, name2, qkv, heads, nW, prescale,
                              bias, mask):
         """Fused Swin window-attention fast path (bias + shifted-window
         mask in-kernel); returns (B_, N, C) or None for the generic path."""
-        if self.int8 != "fused" or self.capture or self.eps is not None:
+        if not self.fused or self.capture or self.eps is not None:
             return None
         qp1 = self.qstate.get(name1)
         qp2 = self.qstate.get(name2)
@@ -148,7 +155,8 @@ class QuantCtx:
             return None
         from ..ops.int8_serve import fused_window_attention_qkv
         return fused_window_attention_qkv(qkv, heads, nW, qp1, qp2,
-                                          prescale, bias, mask)
+                                          prescale, bias, mask,
+                                          relaxed=self.relaxed)
 
     def attention_qkv(self, name1, name2, qkv, heads, scale):
         """Fused int8 attention fast path: softmax(q@kᵀ·scale)@v with both
@@ -157,14 +165,15 @@ class QuantCtx:
         (B, N, d) context or None when unavailable — the caller then runs
         the generic matmul1/softmax/matmul2 sequence (identical
         semantics)."""
-        if self.int8 != "fused" or self.capture or self.eps is not None:
+        if not self.fused or self.capture or self.eps is not None:
             return None
         qp1 = self.qstate.get(name1)
         qp2 = self.qstate.get(name2)
         if qp1 is None or qp2 is None:
             return None
         from ..ops.int8_serve import fused_attention_qkv
-        return fused_attention_qkv(qkv, heads, qp1, qp2, scale)
+        return fused_attention_qkv(qkv, heads, qp1, qp2, scale,
+                                   relaxed=self.relaxed)
 
     def conv2d_patch(self, name, x, w, b, patch: int):
         """Quantizable non-overlapping patch-embedding conv (stride ==

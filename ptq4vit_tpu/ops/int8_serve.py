@@ -84,7 +84,7 @@ _W_SLAB_MAX = 4 * 2 ** 20
 def _linear_kernel(scal_ref, lnw_ref, lnb_ref, x_ref, w_ref, ws_ref, b_ref,
                    osc_ref, res_ref, out_ref, *, a_qmax: int, out_qmax: int,
                    in_mode: str, ln: bool, gelu: bool, out_q: str,
-                   residual: bool):
+                   residual: bool, relaxed: bool = False):
     a = scal_ref[0, 0]
     a_neg = scal_ref[0, 1]
 
@@ -124,11 +124,21 @@ def _linear_kernel(scal_ref, lnw_ref, lnb_ref, x_ref, w_ref, ws_ref, b_ref,
         return _dot_i8(qx, w_ref[:]).astype(jnp.float32) * a
 
     def epilogue(acc, rs):
-        """Rescale + bias + GELU/residual + output (re)quantization (VPU)."""
+        """Rescale + bias + GELU/residual + output (re)quantization (VPU).
+        ``relaxed``: GELU and the requant rounding run in bfloat16 with
+        reciprocal-multiplies (tanh-GELU instead of the erf polynomial) —
+        levels can shift one step vs the exact path (opt-in mode)."""
         out = acc * ws_ref[0, :][None, :] + b_ref[0, :][None, :]
         if gelu:
-            # erf-GELU fused so the pre-activation never crosses HBM
-            out = 0.5 * out * (1.0 + _erf_as(out * (2.0 ** -0.5)))
+            if relaxed:
+                h = out.astype(jnp.bfloat16)
+                out = (0.5 * h * (1.0 + jnp.tanh(
+                    jnp.bfloat16(0.7978845608028654)
+                    * (h + jnp.bfloat16(0.044715) * h * h * h)))) \
+                    .astype(jnp.float32)
+            else:
+                # erf-GELU fused so the pre-activation never crosses HBM
+                out = 0.5 * out * (1.0 + _erf_as(out * (2.0 ** -0.5)))
         if residual:
             # residual add in-epilogue: the separate x+y pass (one read +
             # one write of the whole stream) never happens
@@ -136,12 +146,26 @@ def _linear_kernel(scal_ref, lnw_ref, lnb_ref, x_ref, w_ref, ws_ref, b_ref,
         if out_q == "vec":
             # per-column requant for the next op (qkv -> attention handoff)
             osc = osc_ref[0, :][None, :]
+            if relaxed:
+                return jnp.clip(jnp.round(out.astype(jnp.bfloat16)
+                                          * (1.0 / osc)
+                                          .astype(jnp.bfloat16)),
+                                -out_qmax, out_qmax - 1).astype(jnp.int8)
             return jnp.clip(jnp.round(out / osc), -out_qmax, out_qmax - 1) \
                 .astype(jnp.int8)
         if out_q == "twin":
             # twin-pack for the next post-GELU linear (fc1 -> fc2 handoff)
             o_pos = scal_ref[0, 3]
             o_neg = scal_ref[0, 4]
+            if relaxed:
+                h = out.astype(jnp.bfloat16)
+                p = jnp.clip(jnp.round(h * (1.0 / o_pos)
+                                       .astype(jnp.bfloat16)),
+                             0, out_qmax - 1)
+                n = jnp.clip(jnp.round(h * (1.0 / o_neg)
+                                       .astype(jnp.bfloat16)),
+                             -out_qmax, 0)
+                return (p + n).astype(jnp.int8)
             p = jnp.clip(jnp.round(out / o_pos), 0, out_qmax - 1)
             n = jnp.clip(jnp.round(out / o_neg), -out_qmax, 0)
             return (p + n).astype(jnp.int8)
@@ -174,7 +198,8 @@ def q8_linear(x, w_intT, w_scale, b, a_interval, a_neg_interval, *,
               a_qmax: int, postgelu: bool, epilogue: str = None,
               ln=None, in_q: str = None, out_q: str = None,
               out_scale=None, out_qmax: int = 128,
-              float_dtype=None, residual=None, interpret: bool = None):
+              float_dtype=None, residual=None, relaxed: bool = False,
+              interpret: bool = None):
     """Fused quantize->int8 matmul->rescale linear.
 
     x:        (..., K) fp32/bf16 activations, or int8 when ``in_q`` is set
@@ -239,7 +264,7 @@ def q8_linear(x, w_intT, w_scale, b, a_interval, a_neg_interval, *,
         functools.partial(_linear_kernel, a_qmax=a_qmax, out_qmax=out_qmax,
                           in_mode=in_mode, ln=ln is not None,
                           gelu=epilogue == "gelu", out_q=out_q,
-                          residual=has_res),
+                          residual=has_res, relaxed=relaxed),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -283,12 +308,18 @@ def q8_linear(x, w_intT, w_scale, b, a_interval, a_neg_interval, *,
 def _attn_math(q_in, kt_in, v_in, a1, b1, a2, b2, split, scale, a_out, *,
                sos: bool, in_q8: bool, out_q8: bool,
                A1_qmax: int, B1_qmax: int, A2_qmax: int, B2_qmax: int,
-               O_qmax: int = 128, extra=None):
+               O_qmax: int = 128, extra=None, relaxed: bool = False):
     """Shared per-head attention math: quantize -> q@kᵀ -> softmax ->
     (SoS) quantize -> @v, all in VMEM.  q_in (BM, hd), kt_in (hd, N),
     v_in (N, hd) -> (BM, hd); f32, or int8 when ``out_q8``.
     ``extra``: optional (BM, N) additive pre-softmax term (Swin relative
-    position bias + shifted-window mask)."""
+    position bias + shifted-window mask).
+    ``relaxed``: run the post-logit VPU chain (exp, normalize, SoS/requant
+    rounding) in bfloat16 with reciprocal-multiplies instead of divides —
+    the attention kernel is VPU-bound on exactly this chain (BENCH_NOTES
+    roofline), and bf16 halves its vector width.  Softmax levels can shift
+    by one int8 step vs the exact path, so this mode intentionally breaks
+    fused == fake-quant equality (opt-in, int8="fused_relaxed")."""
     if in_q8:
         q_int, kt_int, v_int = q_in, kt_in, v_in
     else:
@@ -301,8 +332,14 @@ def _attn_math(q_in, kt_in, v_in, a1, b1, a2, b2, split, scale, a_out, *,
     logits = _dot_i8(q_int, kt_int).astype(jnp.float32) * (a1 * b1 * scale)
     if extra is not None:
         logits = logits + extra
-    p = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    if relaxed:
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp((logits - m).astype(jnp.bfloat16))
+        s = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+        p = e * (1.0 / s).astype(jnp.bfloat16)
+    else:
+        p = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
 
     def pv_dot(pi, vi):
         # (BM, N) int8 @ (N, hd) int8 -> (BM, hd) int32
@@ -313,19 +350,36 @@ def _attn_math(q_in, kt_in, v_in, a1, b1, a2, b2, split, scale, a_out, *,
     if sos:
         # split-of-softmax twin ranges (reference matmul.py:595-598)
         a_int = split / (A2_qmax - 1)
-        hi = jnp.clip(jnp.round(jnp.clip(p, split, 1.0) * (A2_qmax - 1)),
-                      0, A2_qmax - 1).astype(jnp.int8)
-        lo = jnp.clip(jnp.round(jnp.clip(p, 0.0, split) / a_int),
-                      0, A2_qmax - 1).astype(jnp.int8)
+        if relaxed:
+            sp = split.astype(jnp.bfloat16)
+            hi = jnp.clip(jnp.round(jnp.clip(p, sp, 1.0)
+                                    * jnp.bfloat16(A2_qmax - 1)),
+                          0, A2_qmax - 1).astype(jnp.int8)
+            lo = jnp.clip(jnp.round(jnp.clip(p, jnp.bfloat16(0.0), sp)
+                                    * (1.0 / a_int).astype(jnp.bfloat16)),
+                          0, A2_qmax - 1).astype(jnp.int8)
+        else:
+            hi = jnp.clip(jnp.round(jnp.clip(p, split, 1.0) * (A2_qmax - 1)),
+                          0, A2_qmax - 1).astype(jnp.int8)
+            lo = jnp.clip(jnp.round(jnp.clip(p, 0.0, split) / a_int),
+                          0, A2_qmax - 1).astype(jnp.int8)
         acc = (pv_dot(hi, v_int).astype(jnp.float32) / (A2_qmax - 1)
                + pv_dot(lo, v_int).astype(jnp.float32) * a_int)
     else:
-        p_int = jnp.clip(jnp.round(p / a2), -A2_qmax, A2_qmax - 1) \
-            .astype(jnp.int8)
+        if relaxed:
+            p_int = jnp.clip(jnp.round(p * (1.0 / a2).astype(jnp.bfloat16)),
+                             -A2_qmax, A2_qmax - 1).astype(jnp.int8)
+        else:
+            p_int = jnp.clip(jnp.round(p / a2), -A2_qmax, A2_qmax - 1) \
+                .astype(jnp.int8)
         acc = pv_dot(p_int, v_int).astype(jnp.float32) * a2
     out = acc * b2
     if out_q8:
         # re-quantize for the proj linear's int8 input (its a_qmax levels)
+        if relaxed:
+            return jnp.clip(jnp.round(out.astype(jnp.bfloat16)
+                                      * (1.0 / a_out).astype(jnp.bfloat16)),
+                            -O_qmax, O_qmax - 1).astype(jnp.int8)
         return jnp.clip(jnp.round(out / a_out), -O_qmax, O_qmax - 1) \
             .astype(jnp.int8)
     return out
@@ -406,9 +460,11 @@ def _attn_misc(qp2, sos: bool, scale, a_out=None):
                     jnp.float32).reshape(())]).reshape(1, 3)
 
 
-def _attn_flags(qp1, qp2, sos: bool, o_qmax: int = 128):
+def _attn_flags(qp1, qp2, sos: bool, o_qmax: int = 128,
+                relaxed: bool = False):
     return dict(sos=sos, A1_qmax=qp1.A_qmax, B1_qmax=qp1.B_qmax,
-                A2_qmax=qp2.A_qmax, B2_qmax=qp2.B_qmax, O_qmax=o_qmax)
+                A2_qmax=qp2.A_qmax, B2_qmax=qp2.B_qmax, O_qmax=o_qmax,
+                relaxed=relaxed)
 
 
 def _attn_bm(N: int, hd: int):
@@ -482,7 +538,7 @@ def _qkv_hp(heads: int, hd: int):
 
 def fused_attention_qkv(qkv, heads: int, qp1, qp2, scale, *,
                         in_q8: bool = False, out_scale=None,
-                        out_qmax: int = 128):
+                        out_qmax: int = 128, relaxed: bool = False):
     """Layout-free fused attention: reads q/v straight out of the packed
     (B, N, 3d) qkv-linear output and writes (B, N, d) — no (B,H,N,hd)
     transpose materializes in HBM (only kᵀ is staged, d/3 of the buffer).
@@ -516,7 +572,8 @@ def fused_attention_qkv(qkv, heads: int, qp1, qp2, scale, *,
     out = pl.pallas_call(
         functools.partial(_attn_kernel_qkv, hd=hd, hp_n=hp_n, in_q8=in_q8,
                           out_q8=out_scale is not None,
-                          **_attn_flags(qp1, qp2, sos, o_qmax=out_qmax)),
+                          **_attn_flags(qp1, qp2, sos, o_qmax=out_qmax,
+                                        relaxed=relaxed)),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -573,7 +630,7 @@ def _attn_kernel_win(ph_ref, misc_ref, q_ref, kt_ref, v_ref, bias_ref,
 def fused_window_attention_qkv(qkv, heads: int, nW: int, qp1, qp2,
                                prescale, bias, mask, *,
                                in_q8: bool = False, out_scale=None,
-                               out_qmax: int = 128):
+                               out_qmax: int = 128, relaxed: bool = False):
     """Fused Swin window attention from the (B_, N, 3C) qkv-linear output,
     B_ = B*nW windows: softmax(q·s @ kᵀ + bias [+ mask]) @ v per head, with
     the reference's PRE-scaled q quantization (utils/models.py:34 — q is
@@ -623,7 +680,8 @@ def fused_window_attention_qkv(qkv, heads: int, nW: int, qp1, qp2,
         functools.partial(_attn_kernel_win, hd=hd, hp_n=hp_n,
                           has_mask=has_mask, in_q8=in_q8,
                           out_q8=out_scale is not None,
-                          **_attn_flags(qp1, qp2, sos, o_qmax=out_qmax)),
+                          **_attn_flags(qp1, qp2, sos, o_qmax=out_qmax,
+                                        relaxed=relaxed)),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -685,7 +743,8 @@ def _packed_or_compute(w, qp, pk):
     return w_intT, w_scale
 
 
-def fused_linear(x, w, b, qp, pk, epilogue: str = None):
+def fused_linear(x, w, b, qp, pk, epilogue: str = None,
+                 relaxed: bool = False):
     """Dispatch a LinearQP through the fused kernel when its layout is in
     scope; returns None to fall back to the XLA int8 path."""
     if not _linear_scope(qp):
@@ -694,14 +753,15 @@ def fused_linear(x, w, b, qp, pk, epilogue: str = None):
     return q8_linear(x, w_intT, w_scale, b,
                      qp.a_interval[0, 0], qp.a_neg_interval,
                      a_qmax=qp.a_qmax, postgelu=qp.postgelu,
-                     epilogue=epilogue)
+                     epilogue=epilogue, relaxed=relaxed)
 
 
 # ---------------------------------------------------------------------------
 # whole-block fusion: intermediate activations cross HBM as int8, once
 # ---------------------------------------------------------------------------
 
-def fused_vit_block(x, blk, qps, pks, heads: int, scale, ln_eps):
+def fused_vit_block(x, blk, qps, pks, heads: int, scale, ln_eps,
+                    relaxed: bool = False):
     """One pre-norm transformer block (LN -> qkv -> attention -> proj ->
     residual -> LN -> fc1/GELU -> fc2 -> residual) with int8 handoffs:
 
@@ -762,20 +822,21 @@ def fused_vit_block(x, blk, qps, pks, heads: int, scale, ln_eps):
                       a_qmax=qp_qkv.a_qmax, postgelu=False,
                       ln=(blk["norm1"]["weight"], blk["norm1"]["bias"],
                           ln_eps),
-                      out_q="vec", out_scale=col_scales, out_qmax=attn_qmax)
+                      out_q="vec", out_scale=col_scales, out_qmax=attn_qmax,
+                      relaxed=relaxed)
     if qkv_q is None:
         return None
     # attention on the pre-quantized buffer; context requantized for proj
     y_q = fused_attention_qkv(qkv_q, heads, qp1, qp2, scale, in_q8=True,
                               out_scale=qp_proj.a_interval[0, 0],
-                              out_qmax=qp_proj.a_qmax)
+                              out_qmax=qp_proj.a_qmax, relaxed=relaxed)
     if y_q is None:
         return None
     # residual add fused into the proj epilogue (no separate x+y pass)
     y = q8_linear(y_q, w_proj[0], w_proj[1], attn["proj"]["bias"],
                   qp_proj.a_interval[0, 0], None,
                   a_qmax=qp_proj.a_qmax, postgelu=False, in_q="q8",
-                  float_dtype=x.dtype, residual=x)
+                  float_dtype=x.dtype, residual=x, relaxed=relaxed)
     if y is None:
         return None
     x = y
@@ -788,19 +849,19 @@ def fused_vit_block(x, blk, qps, pks, heads: int, scale, ln_eps):
                     epilogue="gelu", out_q="twin",
                     out_scale=(qp_fc2.a_interval[0, 0],
                                qp_fc2.a_neg_interval),
-                    out_qmax=qp_fc2.a_qmax)
+                    out_qmax=qp_fc2.a_qmax, relaxed=relaxed)
     if z_q is None:
         return None
     z = q8_linear(z_q, w_fc2[0], w_fc2[1], mlp["fc2"]["bias"],
                   qp_fc2.a_interval[0, 0], qp_fc2.a_neg_interval,
                   a_qmax=qp_fc2.a_qmax, postgelu=True, in_q="q8twin",
-                  float_dtype=x.dtype, residual=x)
+                  float_dtype=x.dtype, residual=x, relaxed=relaxed)
     return z
 
 
 def _win_qkv_kernel(scal_ref, lnw_ref, lnb_ref, x_ref, w_ref, ws_ref,
                     b_ref, osc_ref, out_ref, *, a_qmax: int, ws: int,
-                    nwi: int, out_qmax: int):
+                    nwi: int, out_qmax: int, relaxed: bool = False):
     # image-layout ROW BAND (1, ws, res, C) — one row of nwi windows; the
     # Mosaic block constraint only binds the last two dims, so the band is
     # readable while a single (ws, ws, C) window is not.  Windows split
@@ -819,7 +880,12 @@ def _win_qkv_kernel(scal_ref, lnw_ref, lnb_ref, x_ref, w_ref, ws_ref,
     out = (_dot_i8(xq, w_ref[:]).astype(jnp.float32) * a
            * ws_ref[0, :][None, :] + b_ref[0, :][None, :])
     osc = osc_ref[0, :][None, :]
-    out_ref[:] = jnp.clip(jnp.round(out / osc), -out_qmax, out_qmax - 1) \
+    if relaxed:
+        q = jnp.round(out.astype(jnp.bfloat16) * (1.0 / osc)
+                      .astype(jnp.bfloat16))
+    else:
+        q = jnp.round(out / osc)
+    out_ref[:] = jnp.clip(q, -out_qmax, out_qmax - 1) \
         .astype(jnp.int8).reshape(nwi, N, -1)
 
 
@@ -841,7 +907,8 @@ def _win_proj_kernel(scal_ref, x_ref, w_ref, ws_ref, b_ref, res_ref,
 
 
 def _q8_win_qkv(x4, w_intT, w_scale, b, a_interval, ln, ws: int, col_scales,
-                a_qmax: int, out_qmax: int, interpret: bool):
+                a_qmax: int, out_qmax: int, interpret: bool,
+                relaxed: bool = False):
     """qkv over an UNSHIFTED window grid straight from the (B, res, res, C)
     image layout (window partition folded into the read pattern)."""
     B, res, _, C = x4.shape
@@ -863,7 +930,7 @@ def _q8_win_qkv(x4, w_intT, w_scale, b, a_interval, ln, ws: int, col_scales,
     grid = (B, nwi)
     return pl.pallas_call(
         functools.partial(_win_qkv_kernel, a_qmax=a_qmax, ws=ws, nwi=nwi,
-                          out_qmax=out_qmax),
+                          out_qmax=out_qmax, relaxed=relaxed),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -944,7 +1011,7 @@ def _q8_win_proj(y_q, w_intT, w_scale, b, a_interval, ws: int, res: int,
 
 
 def fused_swin_block(x, blk, qps, pks, heads: int, ws: int, shift: int,
-                     res: int, bias, mask, ln_eps):
+                     res: int, bias, mask, ln_eps, relaxed: bool = False):
     """One Swin block with int8 handoffs — the window analogue of
     :func:`fused_vit_block`:
 
@@ -1020,12 +1087,14 @@ def fused_swin_block(x, blk, qps, pks, heads: int, ws: int, shift: int,
             x4 = jnp.roll(x4, (-shift, -shift), axis=(1, 2))
         qkv_q = _q8_win_qkv(x4, w_qkv[0], w_qkv[1], attn["qkv"]["bias"],
                             qp_qkv.a_interval[0, 0], ln1, ws, col_scales,
-                            qp_qkv.a_qmax, attn_qmax, interpret)
+                            qp_qkv.a_qmax, attn_qmax, interpret,
+                            relaxed=relaxed)
     if qkv_q is not None:
         y_q = fused_window_attention_qkv(qkv_q, heads, nW, qp1, qp2, s,
                                          bias, mask, in_q8=True,
                                          out_scale=qp_proj.a_interval[0, 0],
-                                         out_qmax=qp_proj.a_qmax)
+                                         out_qmax=qp_proj.a_qmax,
+                                         relaxed=relaxed)
         if y_q is None:
             return None
         y4 = _q8_win_proj(y_q, w_proj[0], w_proj[1], attn["proj"]["bias"],
@@ -1046,13 +1115,14 @@ def fused_swin_block(x, blk, qps, pks, heads: int, ws: int, shift: int,
                           qp_qkv.a_interval[0, 0], None,
                           a_qmax=qp_qkv.a_qmax, postgelu=False, ln=ln1,
                           out_q="vec", out_scale=col_scales,
-                          out_qmax=attn_qmax)
+                          out_qmax=attn_qmax, relaxed=relaxed)
         if qkv_q is None:
             return None
         y_q = fused_window_attention_qkv(qkv_q, heads, nW, qp1, qp2, s,
                                          bias, mask, in_q8=True,
                                          out_scale=qp_proj.a_interval[0, 0],
-                                         out_qmax=qp_proj.a_qmax)
+                                         out_qmax=qp_proj.a_qmax,
+                                         relaxed=relaxed)
         if y_q is None:
             return None
         yw = q8_linear(y_q, w_proj[0], w_proj[1], attn["proj"]["bias"],
@@ -1075,11 +1145,11 @@ def fused_swin_block(x, blk, qps, pks, heads: int, ws: int, shift: int,
                     epilogue="gelu", out_q="twin",
                     out_scale=(qp_fc2.a_interval[0, 0],
                                qp_fc2.a_neg_interval),
-                    out_qmax=qp_fc2.a_qmax)
+                    out_qmax=qp_fc2.a_qmax, relaxed=relaxed)
     if z_q is None:
         return None
     z = q8_linear(z_q, w_fc2[0], w_fc2[1], mlp["fc2"]["bias"],
                   qp_fc2.a_interval[0, 0], qp_fc2.a_neg_interval,
                   a_qmax=qp_fc2.a_qmax, postgelu=True, in_q="q8twin",
-                  float_dtype=x.dtype, residual=x)
+                  float_dtype=x.dtype, residual=x, relaxed=relaxed)
     return z

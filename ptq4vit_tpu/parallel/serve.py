@@ -35,18 +35,26 @@ class ServingEngine:
     mesh:    optional Mesh with a "data" axis; weights/qstate replicate,
              the batch shards
     compute_dtype: activation dtype for the float segments (bf16 default)
+    relaxed: run the fused kernels' VPU epilogues (softmax/SoS, GELU,
+             requant rounding) in bfloat16 — the serving ceiling is
+             VPU-bound (BENCH_NOTES roofline), and this trades exact
+             fake-quant equality (levels can shift one int8 step) for
+             throughput.  Off by default; opt-in for deployments that
+             accept the divergence.
     """
 
     def __init__(self, net, qstate: Dict[str, Any],
-                 mesh: Optional[Mesh] = None, compute_dtype=jnp.bfloat16):
+                 mesh: Optional[Mesh] = None, compute_dtype=jnp.bfloat16,
+                 relaxed: bool = False):
         from ..ops.pack import pack_weights
         self.net = net
         self.mesh = mesh
         packed = pack_weights(net.params, qstate)
         params = net.params
+        mode = "fused_relaxed" if relaxed else "fused"
 
         def fwd(p, pk, x):
-            return net.forward(p, x, net.cfg, qstate=qstate, int8="fused",
+            return net.forward(p, x, net.cfg, qstate=qstate, int8=mode,
                                packed=pk, compute_dtype=compute_dtype)
 
         if mesh is None:

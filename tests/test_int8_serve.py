@@ -337,3 +337,43 @@ def test_packed_fused_model_forward_matches_int8(rng):
                                 packed=packed))
     np.testing.assert_allclose(got2, ref, rtol=1e-5,
                                atol=1e-5 * np.abs(ref).max())
+
+def test_fused_relaxed_close_to_exact(rng):
+    """int8="fused_relaxed" (bf16 softmax/SoS/GELU/requant epilogues,
+    ServingEngine(relaxed=True)) intentionally breaks bit-equality with the
+    fake-quant semantics, but must stay within bf16-rounding distance of
+    the exact fused path — quantized levels shift by at most one step, so
+    logits move by O(one-level * sensitivity), not O(1)."""
+    import jax
+    from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
+    from ptq4vit_tpu.configs import ptq4vit
+    from ptq4vit_tpu.models import vit as vit_mod
+    from ptq4vit_tpu.models.registry import DataConfig, Net
+    from tests.test_calibrator import small_cfg
+
+    cfg = vit_mod.ViTConfig(name="blk_vit_rlx", img_size=32, patch_size=8,
+                            embed_dim=128, depth=2, num_heads=2,
+                            num_classes=10)
+    net = Net(name=cfg.name, cfg=cfg,
+              params=vit_mod.init_params(jax.random.PRNGKey(0), cfg),
+              forward=vit_mod.forward,
+              op_inventory=vit_mod.op_inventory(cfg),
+              op_shapes=vit_mod.op_shapes(cfg),
+              data_config=DataConfig(32, 1.0, (0.5,) * 3, (0.5,) * 3))
+    x = rng.standard_normal((4, 3, 32, 32)).astype(np.float32)
+    qstate = HessianQuantCalibrator(net, small_cfg(ptq4vit()), x,
+                                    batch_size=2).batching_quant_calib()
+    packed = pack_weights(net.params, qstate)
+    exact = np.asarray(net.apply(jnp.asarray(x), qstate=qstate,
+                                 int8="fused", packed=packed))
+    relaxed = np.asarray(net.apply(jnp.asarray(x), qstate=qstate,
+                                   int8="fused_relaxed", packed=packed))
+    assert np.abs(relaxed - exact).max() < 0.10 * np.abs(exact).max()
+    assert (relaxed.argmax(-1) == exact.argmax(-1)).all()
+
+    # ServingEngine plumbing: relaxed=True routes to the relaxed mode
+    from ptq4vit_tpu.parallel import ServingEngine
+    eng = ServingEngine(net, qstate, compute_dtype=jnp.float32, relaxed=True)
+    via_engine = np.asarray(eng(x))
+    np.testing.assert_allclose(via_engine, relaxed, rtol=1e-2,
+                               atol=1e-2 * np.abs(relaxed).max())
