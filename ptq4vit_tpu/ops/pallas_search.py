@@ -464,15 +464,18 @@ def matmul_hessian_sims(A, B, grad, cands, fixed_int, mode: str,
     Rp, Cip, Cop = _round_up(R, 8), _round_up(Ci, 128), _round_up(Co, 128)
 
     # sample block: amortize per-grid-step overhead under a VMEM budget
-    # (inputs double-buffered by the pipeline + per-sample scratch)
+    # (inputs double-buffered by the pipeline + per-sample scratch).
+    # PTQ4VIT_TPU_MM_SB caps/overrides for hardware A/B without code edits.
+    import os
     isz = A.dtype.itemsize
     per_sample = ((Rp * Cip + Cip * Cop + Rp * Cop) * isz * 2   # in tiles x2
                   + 2 * Rp * Cop * 4                            # raw + grad^2
                   + (Rp * Cip if mode != "a" else Cip * Cop)    # fixed levels
                   * (2 if mode == "b_sos" else 1))
+    sb_cap = int(os.environ.get("PTQ4VIT_TPU_MM_SB", "16"))
     SB = 1
     for sb_try in (16, 8, 4, 2):
-        if sb_try * per_sample <= 24 << 20:
+        if sb_try <= sb_cap and sb_try * per_sample <= 24 << 20:
             SB = sb_try
             break
     Sp = _round_up(S, SB)

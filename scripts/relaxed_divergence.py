@@ -1,0 +1,83 @@
+"""Characterize int8="fused_relaxed" divergence vs the exact fused path.
+
+The relaxed serving mode (bf16 softmax/SoS/GELU/requant epilogues,
+ops/int8_serve.py) trades bit-equality with the fake-quant semantics for
+VPU throughput.  This script quantifies the trade on N random tiny-ViT
+instances (random weights + random calibration, the same instance
+distribution as scripts/int8_score_divergence.py): max/mean logit shift
+and top-1 flip rate across a batch of eval images per instance.
+
+Run on CPU (interpret-mode kernels are exact to the TPU lowering's
+arithmetic up to fp contraction order):
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+      python scripts/relaxed_divergence.py [n_instances] [out.json]
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+N_INST = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+OUT = sys.argv[2] if len(sys.argv) > 2 else None
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
+    from ptq4vit_tpu.configs import ptq4vit
+    from ptq4vit_tpu.models import vit as vit_mod
+    from ptq4vit_tpu.models.registry import DataConfig, Net
+    from ptq4vit_tpu.ops.pack import pack_weights
+    from tests.test_calibrator import small_cfg
+
+    rng = np.random.default_rng(7)
+    flips = 0
+    total = 0
+    max_shift = 0.0
+    mean_shifts = []
+    for i in range(N_INST):
+        cfg = vit_mod.ViTConfig(name=f"rlx{i}", img_size=32, patch_size=8,
+                                embed_dim=128, depth=2, num_heads=2,
+                                num_classes=10)
+        net = Net(name=cfg.name, cfg=cfg,
+                  params=vit_mod.init_params(jax.random.PRNGKey(i), cfg),
+                  forward=vit_mod.forward,
+                  op_inventory=vit_mod.op_inventory(cfg),
+                  op_shapes=vit_mod.op_shapes(cfg),
+                  data_config=DataConfig(32, 1.0, (0.5,) * 3, (0.5,) * 3))
+        calib = rng.standard_normal((4, 3, 32, 32)).astype(np.float32)
+        qstate = HessianQuantCalibrator(net, small_cfg(ptq4vit()), calib,
+                                        batch_size=2) \
+            .batching_quant_calib(verbose=False)
+        packed = pack_weights(net.params, qstate)
+        x = rng.standard_normal((32, 3, 32, 32)).astype(np.float32)
+        exact = np.asarray(net.apply(jnp.asarray(x), qstate=qstate,
+                                     int8="fused", packed=packed))
+        relaxed = np.asarray(net.apply(jnp.asarray(x), qstate=qstate,
+                                       int8="fused_relaxed", packed=packed))
+        shift = np.abs(relaxed - exact) / max(np.abs(exact).max(), 1e-9)
+        max_shift = max(max_shift, float(shift.max()))
+        mean_shifts.append(float(shift.mean()))
+        flips += int((relaxed.argmax(-1) != exact.argmax(-1)).sum())
+        total += exact.shape[0]
+        print(f"instance {i}: max_shift={shift.max():.4f} "
+              f"flips={int((relaxed.argmax(-1) != exact.argmax(-1)).sum())}"
+              f"/{exact.shape[0]}", flush=True)
+    result = {
+        "n_instances": N_INST, "images_per_instance": 32,
+        "top1_flips": flips, "top1_total": total,
+        "max_logit_shift_rel": round(max_shift, 5),
+        "mean_logit_shift_rel": round(float(np.mean(mean_shifts)), 6),
+    }
+    print(json.dumps(result))
+    if OUT:
+        with open(OUT, "w") as f:
+            json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
