@@ -377,3 +377,35 @@ def test_fused_relaxed_close_to_exact(rng):
     via_engine = np.asarray(eng(x))
     np.testing.assert_allclose(via_engine, relaxed, rtol=1e-2,
                                atol=1e-2 * np.abs(relaxed).max())
+
+def test_fused_relaxed_swin_close_to_exact(rng):
+    """Swin relaxed mode: the window-band kernels' bf16 requant branch
+    (_win_qkv_kernel) and the window attention's bf16 softmax/SoS chain
+    must engage end-to-end and stay within bf16-rounding distance of the
+    exact fused path."""
+    import jax
+    from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
+    from ptq4vit_tpu.configs import ptq4vit
+    from ptq4vit_tpu.models import swin as swin_mod
+    from ptq4vit_tpu.models.registry import DataConfig, Net
+    from tests.test_calibrator import small_cfg
+
+    cfg = swin_mod.SwinConfig(name="blk_swin_rlx", img_size=32, patch_size=4,
+                              embed_dim=128, depths=(2, 1), num_heads=(2, 4),
+                              window_size=4, num_classes=10)
+    net = Net(name=cfg.name, cfg=cfg,
+              params=swin_mod.init_params(jax.random.PRNGKey(0), cfg),
+              forward=swin_mod.forward,
+              op_inventory=swin_mod.op_inventory(cfg),
+              op_shapes=swin_mod.op_shapes(cfg),
+              data_config=DataConfig(32, 1.0, (0.5,) * 3, (0.5,) * 3))
+    x = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    qstate = HessianQuantCalibrator(net, small_cfg(ptq4vit()), x,
+                                    batch_size=2).batching_quant_calib()
+    packed = pack_weights(net.params, qstate)
+    exact = np.asarray(net.apply(jnp.asarray(x), qstate=qstate,
+                                 int8="fused", packed=packed))
+    relaxed = np.asarray(net.apply(jnp.asarray(x), qstate=qstate,
+                                   int8="fused_relaxed", packed=packed))
+    assert np.abs(relaxed - exact).max() < 0.10 * np.abs(exact).max()
+    assert not np.array_equal(relaxed, exact)  # the relaxed chain engaged
