@@ -351,15 +351,16 @@ def linear_a_hessian_sims_i8(x, w_lv, w_scale, cands, raw_minus_bias, grad,
 # ---------------------------------------------------------------------------
 
 def _mm_kernel(cand_ref, scal_ref, sos_ref, a_ref, b_ref, g_ref, out_ref,
-               raw_ref, g2_ref, *fix_refs, P: int, mode: str, cand_qmax: int,
-               fixed_qmax: int, SB: int):
+               raw_ref, g2_ref, cand_f32_ref, *fix_refs, P: int, mode: str,
+               cand_qmax: int, fixed_qmax: int, SB: int):
     """Sample-blocked scorer step: SB (sample, head) tiles per grid step.
 
-    Per step: raw = A@B, grad^2 and the FIXED operand's int8 levels are
-    computed once per sample into VMEM scratch; the candidate loop then
-    reuses them — amortizing tile DMA, scalar-loop and SMEM-RMW overhead
-    across SB samples (the un-blocked grid ran ~32k steps at Swin-B/384
-    x 128 imgs, ~3x over the padded-dot roofline).
+    Per step: raw = A@B, grad^2, the FIXED operand's int8 levels and an
+    f32 copy of the CANDIDATE operand are computed once per sample into
+    VMEM scratch; the candidate loop then reuses them — amortizing tile
+    DMA, the bf16->f32 cast, scalar-loop and SMEM-RMW overhead across SB
+    samples (the un-blocked grid ran ~32k steps at Swin-B/384 x 128 imgs,
+    ~3x over the padded-dot roofline).
     """
     g = pl.program_id(0)
     sblk = pl.program_id(1)
@@ -382,7 +383,8 @@ def _mm_kernel(cand_ref, scal_ref, sos_ref, a_ref, b_ref, g_ref, out_ref,
         s_hi = sos_ref[0, 2]                               # 1/(qmax-1)
         s_lo = sos_ref[0, 3]                               # a_int == scale lo
 
-    # per-sample prep: raw = A@B exact, grad^2, fixed-operand int8 levels
+    # per-sample prep: raw = A@B exact, grad^2, fixed-operand int8 levels,
+    # candidate operand cast to f32 once
     for sb in range(SB):
         a = a_ref[sb, 0].astype(jnp.float32)               # (Rp, Cip)
         b = b_ref[sb, 0].astype(jnp.float32)               # (Cip, Cop)
@@ -390,14 +392,17 @@ def _mm_kernel(cand_ref, scal_ref, sos_ref, a_ref, b_ref, g_ref, out_ref,
         raw_ref[sb] = dot_f32(a, b)
         g2_ref[sb] = grad * grad
         if mode == "a":                                    # candidates on A
+            cand_f32_ref[sb] = a
             fix_refs[0][sb] = jnp.clip(
                 jnp.round(b / f_int), -fixed_qmax, fixed_qmax - 1) \
                 .astype(jnp.int8)
         elif mode == "b":                                  # candidates on B
+            cand_f32_ref[sb] = b
             fix_refs[0][sb] = jnp.clip(
                 jnp.round(a / f_int), -fixed_qmax, fixed_qmax - 1) \
                 .astype(jnp.int8)
         else:
+            cand_f32_ref[sb] = b
             fix_refs[0][sb] = jnp.clip(
                 jnp.round(jnp.clip(a, split, 1.0) * (fixed_qmax - 1)),
                 0, fixed_qmax - 1).astype(jnp.int8)
@@ -409,22 +414,15 @@ def _mm_kernel(cand_ref, scal_ref, sos_ref, a_ref, b_ref, g_ref, out_ref,
         d = cand_ref[p, g]
         part = jnp.float32(0.0)
         for sb in range(SB):
+            c_lv = jnp.clip(jnp.round(cand_f32_ref[sb] / d),
+                            -cand_qmax, cand_qmax - 1).astype(jnp.int8)
             if mode == "a":
-                c_lv = jnp.clip(jnp.round(a_ref[sb, 0].astype(jnp.float32)
-                                          / d),
-                                -cand_qmax, cand_qmax - 1).astype(jnp.int8)
                 out = dot_i32(c_lv, fix_refs[0][sb]).astype(jnp.float32) \
                     * (d * f_int)
             elif mode == "b":
-                c_lv = jnp.clip(jnp.round(b_ref[sb, 0].astype(jnp.float32)
-                                          / d),
-                                -cand_qmax, cand_qmax - 1).astype(jnp.int8)
                 out = dot_i32(fix_refs[0][sb], c_lv).astype(jnp.float32) \
                     * (f_int * d)
             else:
-                c_lv = jnp.clip(jnp.round(b_ref[sb, 0].astype(jnp.float32)
-                                          / d),
-                                -cand_qmax, cand_qmax - 1).astype(jnp.int8)
                 hi32 = dot_i32(fix_refs[0][sb], c_lv)
                 lo32 = dot_i32(fix_refs[1][sb], c_lv)
                 out = (hi32.astype(jnp.float32) * s_hi
@@ -470,6 +468,7 @@ def matmul_hessian_sims(A, B, grad, cands, fixed_int, mode: str,
     isz = A.dtype.itemsize
     per_sample = ((Rp * Cip + Cip * Cop + Rp * Cop) * isz * 2   # in tiles x2
                   + 2 * Rp * Cop * 4                            # raw + grad^2
+                  + (Rp * Cip if mode == "a" else Cip * Cop) * 4  # cand f32
                   + (Rp * Cip if mode != "a" else Cip * Cop)    # fixed levels
                   * (2 if mode == "b_sos" else 1))
     sb_cap = int(os.environ.get("PTQ4VIT_TPU_MM_SB", "16"))
@@ -491,7 +490,11 @@ def matmul_hessian_sims(A, B, grad, cands, fixed_int, mode: str,
     sosv = jnp.stack([jnp.asarray(v, jnp.float32).reshape(())
                       for v in sos]).reshape(1, 4)
     scratch = [pltpu.VMEM((SB, Rp, Cop), jnp.float32),     # raw
-               pltpu.VMEM((SB, Rp, Cop), jnp.float32)]     # grad^2
+               pltpu.VMEM((SB, Rp, Cop), jnp.float32),     # grad^2
+               # f32 copy of the candidate operand (cast hoisted out of
+               # the candidate loop)
+               pltpu.VMEM((SB, Rp, Cip) if mode == "a" else (SB, Cip, Cop),
+                          jnp.float32)]
     if mode == "a":
         scratch.append(pltpu.VMEM((SB, Cip, Cop), jnp.int8))
     elif mode == "b":

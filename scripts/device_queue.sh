@@ -1,0 +1,28 @@
+#!/bin/bash
+# One-shot device work queue for a healthy tunnel window.  Each step is
+# timeout-bounded and appends to $LOG; a failed step doesn't stop the rest.
+#   scripts/device_queue.sh [logfile]
+set -u
+LOG="${1:-/tmp/device_queue.log}"
+cd "$(dirname "$0")/.."
+run() {
+  echo "=== $* ($(date +%H:%M:%S)) ===" >> "$LOG"
+  timeout "$1" "${@:2}" >> "$LOG" 2>&1
+  echo "--- exit $? ---" >> "$LOG"
+}
+
+# 0. probe
+run 120 python -c "import jax, jax.numpy as jnp; x=jnp.ones((256,256), jnp.bfloat16); print('probe', float((x@x).sum()))"
+
+# 1. blocked-scorer A/B at Swin window shapes (SB=16 default vs SB=1 round-2 behavior)
+run 580 python scripts/mm_scorer_bench.py
+run 580 env PTQ4VIT_TPU_MM_SB=1 python scripts/mm_scorer_bench.py
+
+# 2. Swin-B/384 128-img attribution (where do the search seconds go now)
+run 1200 python scripts/calib_attribution.py swin_base_patch4_window12_384 128
+
+# 3. serving: exact vs relaxed, ViT-B/384 and Swin-B/384
+run 1800 python bench_infer.py
+run 1800 env BENCH_MODEL=swin_base_patch4_window12_384 python bench_infer.py
+
+echo "QUEUE DONE $(date)" >> "$LOG"
