@@ -37,7 +37,40 @@ _b = _BASELINES.get(MODEL, {}).get(CALIB)
 BASELINE_MIN = float(_b) if _b is not None else None
 
 
+def _await_healthy_device(max_probes: int = 10, probe_timeout: int = 120,
+                          sleep_s: int = 180) -> bool:
+    """Probe the backend with a trivial matmul in a SUBPROCESS (a hung PJRT
+    client cannot be recovered in-process) before committing to the run.
+
+    The axon tunnel has full-outage windows where even jax.devices() hangs;
+    without this, a driver-invoked bench would hang forever instead of either
+    waiting out the outage or failing honestly.  ~30 min of patience total.
+    """
+    import subprocess
+    import sys
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((256, 256), jnp.bfloat16); "
+             "print(float((x @ x).sum()))")
+    for i in range(max_probes):
+        try:
+            subprocess.run([sys.executable, "-c", probe], timeout=probe_timeout,
+                           check=True, capture_output=True)
+            return True
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if i < max_probes - 1:
+                time.sleep(sleep_s)
+    return False
+
+
 def main():
+    if os.environ.get("BENCH_SKIP_PROBE") != "1" and not _await_healthy_device(
+            max_probes=int(os.environ.get("BENCH_PROBE_MAX", "10"))):
+        print(json.dumps({
+            "metric": f"ptq4vit_calib_minutes_{MODEL}_{CALIB}imgs",
+            "value": None, "unit": "min", "vs_baseline": None,
+            "error": "device unreachable: trivial matmul probe hung/failed "
+                     "for ~30 min (axon tunnel outage)"}))
+        return
     # persistent XLA compilation cache: repeat runs (and the driver's bench
     # invocations) skip the expensive compiles
     import jax

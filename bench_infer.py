@@ -11,6 +11,14 @@ import numpy as np
 
 
 def main():
+    if os.environ.get("BENCH_SKIP_PROBE") != "1":
+        from bench import _await_healthy_device
+        if not _await_healthy_device():
+            print(json.dumps({
+                "metric": "ptq4vit_serve_img_per_s", "value": None,
+                "unit": "img/s", "vs_baseline": None,
+                "error": "device unreachable (axon tunnel outage)"}))
+            return
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir",

@@ -25,4 +25,8 @@ run 1200 python scripts/calib_attribution.py swin_base_patch4_window12_384 128
 run 1800 python bench_infer.py
 run 1800 env BENCH_MODEL=swin_base_patch4_window12_384 python bench_infer.py
 
+# 4. 128-img grid for the whole zoo (ROADMAP #6); short probe patience so a
+#    mid-grid outage fails each cell fast instead of burning 30 min per model
+run 14400 env BENCH_PROBE_MAX=2 bash scripts/run_grid.sh /tmp/grid128.jsonl 128
+
 echo "QUEUE DONE $(date)" >> "$LOG"
