@@ -20,6 +20,10 @@ run 580 env PTQ4VIT_TPU_MM_SB=1 python scripts/mm_scorer_bench.py
 
 # 2. Swin-B/384 128-img attribution (where do the search seconds go now)
 run 1200 python scripts/calib_attribution.py swin_base_patch4_window12_384 128
+# 2b. Swin-B/384 128-img wall-clock: SB-blocked fused scorer (new default)
+#     vs the vmapped cohort path (ROADMAP #2's unexplored lever)
+run 1800 env BENCH_MODEL=swin_base_patch4_window12_384 BENCH_CALIB=128 BENCH_REPEATS=2 python bench.py
+run 1800 env BENCH_MODEL=swin_base_patch4_window12_384 BENCH_CALIB=128 BENCH_REPEATS=1 PTQ4VIT_TPU_PALLAS=0 python bench.py
 
 # 3. serving: exact vs relaxed, ViT-B/384 and Swin-B/384
 run 1800 python bench_infer.py
