@@ -13,10 +13,13 @@ import numpy as np
 def main():
     if os.environ.get("BENCH_SKIP_PROBE") != "1":
         from bench import _await_healthy_device
-        if not _await_healthy_device():
+        if not _await_healthy_device(
+                max_probes=int(os.environ.get("BENCH_PROBE_MAX", "10"))):
+            model = os.environ.get("BENCH_MODEL", "vit_base_patch16_384")
+            bs = os.environ.get("BENCH_BS", "32")
             print(json.dumps({
-                "metric": "ptq4vit_serve_img_per_s", "value": None,
-                "unit": "img/s", "vs_baseline": None,
+                "metric": f"infer_images_per_s_{model}_bs{bs}",
+                "value": None, "unit": "img/s",
                 "error": "device unreachable (axon tunnel outage)"}))
             return
     import jax

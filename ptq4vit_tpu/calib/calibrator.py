@@ -56,24 +56,36 @@ def _params_for_op(params: Dict[str, Any], name: str):
     return node.get("weight"), node.get("bias")
 
 
-def _tap_bytes(net, calib_n: int, need_grad: bool,
-               store_raw_out: bool = True,
-               elem_bytes: int = 4) -> Dict[str, int]:
-    """Bytes of each op's full-calib-set capture (inputs+out[+grad])."""
+def _tap_nelems(net) -> Dict[str, Dict[str, int]]:
+    """Per-image element counts of each op's capture taps, from ONE abstract
+    trace (jax.eval_shape re-traces the whole net — seconds on deep models —
+    so callers needing several byte views share this)."""
     xb = jax.ShapeDtypeStruct((1,) + (3, net.cfg.img_size, net.cfg.img_size),
                               jnp.float32)
     _, shapes = jax.eval_shape(
         lambda p, x: net.forward(p, x, net.cfg, capture=True), net.params, xb)
-    kinds = {n: t for n, t in net.op_inventory}
+    return {name: {k: int(np.prod(v.shape))
+                   for k, v in shapes[name].items()}
+            for name, _ in net.op_inventory}
+
+
+def _tap_bytes(net, calib_n: int, need_grad: bool,
+               store_raw_out: bool = True,
+               elem_bytes: int = 4,
+               nelems: Optional[Dict[str, Dict[str, int]]] = None
+               ) -> Dict[str, int]:
+    """Bytes of each op's full-calib-set capture (inputs+out[+grad])."""
+    if nelems is None:
+        nelems = _tap_nelems(net)
     out = {}
-    for name, _ in net.op_inventory:
+    for name, elems in nelems.items():
         n = 0
-        for key, v in shapes[name].items():
+        for key, v in elems.items():
             if key == "out" and not store_raw_out:
                 continue
-            n += int(np.prod(v.shape)) * elem_bytes
+            n += v * elem_bytes
         if need_grad:
-            n += int(np.prod(shapes[name]["out"].shape)) * elem_bytes
+            n += elems["out"] * elem_bytes
         out[name] = n * calib_n
     return out
 
@@ -107,6 +119,7 @@ class CalibReport:
     sync_seconds: float = 0.0      # residual group-end block (~0: per-op
                                    # blocks below attribute the device time)
     setup_seconds: float = 0.0
+    num_groups: int = 0            # capture groups the planner formed
     # per-op dispatch + in-order completion wait == device occupancy
     # attribution (the device retires programs in enqueue order)
     search_seconds: Dict[str, float] = dataclasses.field(default_factory=dict)
@@ -169,6 +182,7 @@ class HessianQuantCalibrator:
             cache_dtype = None
         self.cache_dtype = cache_dtype
         self.profile_dir = profile_dir
+        self._explicit_cache_budget = cache_budget_bytes is not None
         self.cache_budget = (cache_budget_bytes if cache_budget_bytes
                              else (_device_budget_bytes() if device_resident
                                    else 48 << 30))
@@ -298,9 +312,10 @@ class HessianQuantCalibrator:
         # group ops so each capture pass fits the cache budget
         t_setup = time.time()
         elem = 2 if self.cache_dtype is not None else 4
+        nelems = _tap_nelems(net)  # one abstract trace for both byte views
         sizes = _tap_bytes(net, self.calib_x.shape[0], need_grad,
                            store_raw_out=not self.device_resident,
-                           elem_bytes=elem)
+                           elem_bytes=elem, nelems=nelems)
         cache_budget = self.cache_budget
         if self.device_resident:
             # HBM headroom planner: the steady-state peak is
@@ -317,14 +332,24 @@ class HessianQuantCalibrator:
             # attention matmuls materialize ~6.5 GB per search and the
             # budget must shrink to fit (measured OOM at the static 8 GB).
             work = _tap_bytes(net, self.calib_x.shape[0], need_grad,
-                              store_raw_out=True, elem_bytes=4)
-            scratch = min(self.search_budget, S.DEFAULT_BUDGET)
+                              store_raw_out=True, elem_bytes=4, nelems=nelems)
+            # the full search budget: plan_chunks sizes candidate chunks up
+            # to it, so reserving less (e.g. capping at DEFAULT_BUDGET)
+            # under-counts the steady-state peak when callers raise it
+            scratch = self.search_budget
             search_set = (max(work.values()) if work else 0) + scratch
             hbm = float(os.environ.get("PTQ4VIT_TPU_HBM_GB", "16")) * (1 << 30)
             usable = hbm * 0.85 - search_set - (1 << 30)
-            cache_budget = max(1 << 30,
-                               min(cache_budget,
-                                   int(usable / (1.5 if overlap else 1.05))))
+            planned = int(usable / (1.5 if overlap else 1.05))
+            if self._explicit_cache_budget:
+                # an explicit cache_budget_bytes is a hard cap on group size
+                # (the caller is bounding residency); the planner may only
+                # SHRINK it when HBM headroom demands
+                cache_budget = min(cache_budget, max(planned, 1 << 20))
+            else:
+                # the 1-GB floor protects the DEFAULT budget from a planner
+                # underestimate on small-HBM stats; never a user override
+                cache_budget = max(1 << 30, min(cache_budget, planned))
         groups: List[List[str]] = [[]]
         acc = 0
         for name, _ in todo:
@@ -334,6 +359,7 @@ class HessianQuantCalibrator:
             groups[-1].append(name)
             acc += sizes[name]
         groups = [g for g in groups if g]
+        self.report.num_groups = len(groups)
 
         mtypes = dict(self.wrapped_modules)
         self.report.setup_seconds = time.time() - t_setup

@@ -268,10 +268,15 @@ def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
     # same op group and qstate STRUCTURE (bench repeats, multi-model grids,
     # resumed runs) reuse the already-loaded executable and cost only the
     # enqueue.  None entries in qstate are structural (treedef key).
+    # Key on the Mesh OBJECT (hashable), not id(mesh): a recycled id after
+    # GC would silently reuse an executable whose out_shardings bind a dead
+    # mesh.  Image dims are in the key because the closure bakes eps_shapes
+    # derived from them — same batch_size at a different resolution must
+    # rebuild.
     cache_key = (tuple(names), batch_size, need_grad, fused_target,
                  want_target, store_raw_out, str(cache_dtype),
-                 float(probe_sigma),
-                 id(mesh) if mesh is not None else None,
+                 float(probe_sigma), calib_x.shape[1:],
+                 mesh,
                  jax.tree.structure(qstate))
     jit_cache = _net_cache(net).setdefault("capture_jit", {})
     capture_all = jit_cache.get(cache_key)

@@ -65,7 +65,9 @@ def _pallas_default() -> bool:
 # interval-divergence rate is small and interval-adjacent — see README
 # parity notes + scripts/int8_score_divergence.py), OFF on CPU where the
 # torch-oracle parity tests pin exact reference rounding.
-# PTQ4VIT_TPU_INT8_SCORE=0/1 overrides either way.
+# PTQ4VIT_TPU_INT8_SCORE=0/1 overrides either way; =0 also bypasses the
+# fused Pallas matmul scorer (whose semantics are int8-only), restoring
+# exact scoring without additionally needing PTQ4VIT_TPU_PALLAS=0.
 def _int8_score_default() -> bool:
     flag = os.environ.get("PTQ4VIT_TPU_INT8_SCORE")
     if flag is not None:
@@ -1000,10 +1002,15 @@ def search_matmul(cap, policy: OpPolicy,
         a_state, B_int = _matmul_blocked_search_jit(
             A, B, raw_out, grad, policy, P, bs, n_G_A, n_G_B)
     else:
+        int8 = _int8_score_default()
+        # the fused Pallas matmul scorer has int8-rescale semantics ONLY, so
+        # PTQ4VIT_TPU_INT8_SCORE=0 (exact fp32 reference rounding) must also
+        # bypass it — otherwise the flag would be silently ignored for
+        # matmul searches on accelerators
         a_state, B_int = _matmul_search_jit(
             A, B, raw_out, grad, policy, P, bs, G,
-            int8_score=_int8_score_default(),
-            use_pallas=_pallas_default(), mesh=mesh)
+            int8_score=int8,
+            use_pallas=_pallas_default() and int8, mesh=mesh)
     A_qmax = fq.qmax_for_bit(policy.a_bit)
     if sos:
         return MatMulQP(A_interval=a_state / (A_qmax - 1), B_interval=B_int,

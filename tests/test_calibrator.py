@@ -212,6 +212,28 @@ def test_matmul_pallas_default_same_qstate(net, calib_x, monkeypatch):
                                        rtol=1e-6)
 
 
+def test_int8_score_off_bypasses_pallas_matmul(net, calib_x, monkeypatch):
+    """PTQ4VIT_TPU_INT8_SCORE=0 restores exact fp32 reference rounding even
+    with the Pallas scorers enabled: the fused matmul scorer is int8-only,
+    so the flag must bypass it (BITWISE equality with the plain XLA path,
+    which last-ulp int8-rescale differences would break)."""
+    cfg = small_cfg(ptq4vit())
+    monkeypatch.setenv("PTQ4VIT_TPU_INT8_SCORE", "0")
+    ref = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4) \
+        .batching_quant_calib(verbose=False)
+    monkeypatch.setenv("PTQ4VIT_TPU_PALLAS", "1")
+    q = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4) \
+        .batching_quant_calib(verbose=False)
+    for n in ref:
+        bitwise = "matmul" in n  # linear Pallas fp32 kernels may differ
+        for a, b in zip(jax.tree.leaves(ref[n]), jax.tree.leaves(q[n])):
+            if bitwise:
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            else:
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-6)
+
+
 def test_multigroup_overlap_same_qstate(net, calib_x, monkeypatch):
     """A cache budget of 1 byte forces every op into its own capture group,
     exercising the group planner and the capture/search overlap prefetch
@@ -223,9 +245,14 @@ def test_multigroup_overlap_same_qstate(net, calib_x, monkeypatch):
         .batching_quant_calib(verbose=False)
     for ov in ("1", "0"):
         monkeypatch.setenv("PTQ4VIT_TPU_OVERLAP", ov)
-        q = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4,
-                                   cache_budget_bytes=1) \
-            .batching_quant_calib(verbose=False)
+        c = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4,
+                                   cache_budget_bytes=1)
+        q = c.batching_quant_calib(verbose=False)
+        # guard against the planner clamping the explicit budget back up
+        # (which would silently collapse this to a single-group run and
+        # leave the overlap path untested)
+        assert c.report.num_groups == len(q), \
+            f"expected per-op groups, got {c.report.num_groups}"
         for n in ref:
             for a, b in zip(jax.tree.leaves(ref[n]), jax.tree.leaves(q[n])):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
