@@ -14,9 +14,12 @@ run() {
 # 0. probe
 run 120 python -c "import jax, jax.numpy as jnp; x=jnp.ones((256,256), jnp.bfloat16); print('probe', float((x@x).sum()))"
 
-# 1. blocked-scorer A/B at Swin window shapes (SB=16 default vs SB=1 round-2 behavior)
+# 1. blocked-scorer A/B at Swin window shapes (SB=16 default vs SB=1 round-2
+#    behavior), plus head-folding off (FOLD=1) to isolate the fold's gain
 run 580 python scripts/mm_scorer_bench.py
 run 580 env PTQ4VIT_TPU_MM_SB=1 python scripts/mm_scorer_bench.py
+run 580 env PTQ4VIT_TPU_MM_FOLD=1 python scripts/mm_scorer_bench.py
+run 580 env PTQ4VIT_TPU_MM_SB=1 PTQ4VIT_TPU_MM_FOLD=1 python scripts/mm_scorer_bench.py
 
 # 2. Swin-B/384 128-img attribution (where do the search seconds go now)
 run 1200 python scripts/calib_attribution.py swin_base_patch4_window12_384 128

@@ -235,3 +235,38 @@ def test_matmul_search_pallas_path_matches_xla(rng):
         a2, b2 = _matmul_search_jit(*args, use_pallas=True)
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-6)
+
+
+def test_matmul_scorer_head_folding_bitwise_equal(rng, monkeypatch):
+    """Head folding (F heads -> one dense-K dot with a block-diagonal fixed
+    operand) is EXACT: sims are bitwise equal to the unfolded kernel at
+    Swin window shapes, for every mode."""
+    from ptq4vit_tpu.ops import pallas_search as ps
+    S, G, R, Ci, Co, P = 4, 8, 49, 32, 49, 5
+    A = rng.standard_normal((S, G, R, Ci)).astype(np.float32)
+    Asm = np.exp(A) / np.exp(A).sum(-1, keepdims=True)
+    B = rng.standard_normal((S, G, Ci, Co)).astype(np.float32)
+    grad = rng.standard_normal((S, G, R, Co)).astype(np.float32)
+    base = np.abs(A).max(axis=(0, 2, 3)) / 127.5
+    cands = (base[None, :] *
+             np.linspace(0.3, 1.2, P)[:, None]).astype(np.float32)
+    bint = (np.abs(B).max(axis=(0, 2, 3)) / 127.5).astype(np.float32)
+    split = np.float32(1 / 2 ** 4)
+    sos = (split, np.float32(split / 127), np.float32(1 / 127),
+           np.float32(split / 127))
+
+    def run(mode, a):
+        ps.matmul_hessian_sims._clear_cache()  # fold factor read at trace
+        return np.asarray(ps.matmul_hessian_sims(
+            jnp.asarray(a), jnp.asarray(B), jnp.asarray(grad),
+            jnp.asarray(cands), jnp.asarray(bint), mode, 128, 128,
+            sos=tuple(jnp.float32(v) for v in sos) if mode == "b_sos"
+            else None, interpret=True))
+
+    for mode in ("a", "b", "b_sos"):
+        a = Asm if mode == "b_sos" else A
+        monkeypatch.setenv("PTQ4VIT_TPU_MM_FOLD", "1")
+        ref = run(mode, a)
+        for F in (2, 4):
+            monkeypatch.setenv("PTQ4VIT_TPU_MM_FOLD", str(F))
+            np.testing.assert_array_equal(ref, run(mode, a), err_msg=mode)
