@@ -270,3 +270,17 @@ def test_matmul_scorer_head_folding_bitwise_equal(rng, monkeypatch):
         for F in (2, 4):
             monkeypatch.setenv("PTQ4VIT_TPU_MM_FOLD", str(F))
             np.testing.assert_array_equal(ref, run(mode, a), err_msg=mode)
+
+
+def test_mm_fold_factor_model_shapes():
+    """The fold heuristic picks F=4 at Swin window shapes (where lane/K
+    padding wastes 4-8x MACs) and F=1 at ViT shapes (no padding waste to
+    recover, folding would only grow VMEM tiles)."""
+    from ptq4vit_tpu.ops.pallas_search import _mm_fold_factor
+    for g in (4, 8, 16, 32):                  # Swin-B/384 stages, window 144
+        assert _mm_fold_factor(g, 32, 144) == 4      # matmul1 q@k^T
+        assert _mm_fold_factor(g, 144, 32) == 4      # matmul2 p@v
+    assert _mm_fold_factor(8, 32, 49) == 4           # Swin-224, window 49
+    assert _mm_fold_factor(8, 49, 32) == 4
+    assert _mm_fold_factor(12, 64, 577) == 1         # ViT-B/384
+    assert _mm_fold_factor(12, 577, 64) == 1
