@@ -439,7 +439,8 @@ def _mm_kernel(cand_ref, scal_ref, sos_ref, a_ref, b_ref, g_ref, out_ref,
 def _mm_kernel_folded(cand_ref, scal_ref, sos_ref, a_ref, b_ref, g_ref,
                       out_ref, raw_ref, g2_ref, cand_f32_ref, *fix_refs,
                       P: int, mode: str, cand_qmax: int, fixed_qmax: int,
-                      SB: int, F: int, Ci: int, Co: int):
+                      SB: int, F: int, Ci: int, Co: int,
+                      rowsum: bool = False):
     """Head-folded scorer step: F heads share ONE dense-K dot per tile.
 
     Small window-attention matmuls (Swin: R=49, Ci or Co = 32/49) pad each
@@ -545,8 +546,17 @@ def _mm_kernel_folded(cand_ref, scal_ref, sos_ref, a_ref, b_ref, g_ref,
                        + lo32.astype(jnp.float32) * s_lo) * s_out
             diff = raw_ref[sb] - out
             dw = g2_ref[sb] * diff * diff
-            for f in range(F):
-                parts[f] += -jnp.sum(jnp.where(blk_co == f, dw, 0.0))
+            if rowsum:
+                # one row-reduction then F tiny masked sums (saves F-1
+                # full-tile passes; fp32 sum ORDER differs from the
+                # bitwise-exact default — last-ulp class, device A/B via
+                # PTQ4VIT_TPU_MM_ROWSUM=1)
+                rs = jnp.sum(dw, axis=0, keepdims=True)
+                for f in range(F):
+                    parts[f] += -jnp.sum(jnp.where(blk_co == f, rs, 0.0))
+            else:
+                for f in range(F):
+                    parts[f] += -jnp.sum(jnp.where(blk_co == f, dw, 0.0))
         for f in range(F):
             base = jnp.where(sblk == 0, 0.0, out_ref[p, g * F + f])
             out_ref[p, g * F + f] = base + parts[f]
@@ -662,7 +672,10 @@ def matmul_hessian_sims(A, B, grad, cands, fixed_int, mode: str,
     grid = (Gk, Sp // SB)
     kern = (functools.partial(_mm_kernel_folded, P=P, mode=mode,
                               cand_qmax=cand_qmax, fixed_qmax=fixed_qmax,
-                              SB=SB, F=F, Ci=Ci, Co=Co) if F > 1 else
+                              SB=SB, F=F, Ci=Ci, Co=Co,
+                              rowsum=os.environ.get(
+                                  "PTQ4VIT_TPU_MM_ROWSUM") == "1")
+            if F > 1 else
             functools.partial(_mm_kernel, P=P, mode=mode,
                               cand_qmax=cand_qmax, fixed_qmax=fixed_qmax,
                               SB=SB))

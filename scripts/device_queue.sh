@@ -40,6 +40,7 @@ run 580 python scripts/mm_scorer_bench.py
 run 580 env PTQ4VIT_TPU_MM_SB=1 python scripts/mm_scorer_bench.py
 run 580 env PTQ4VIT_TPU_MM_FOLD=1 python scripts/mm_scorer_bench.py
 run 580 env PTQ4VIT_TPU_MM_SB=1 PTQ4VIT_TPU_MM_FOLD=1 python scripts/mm_scorer_bench.py
+run 580 env PTQ4VIT_TPU_MM_ROWSUM=1 python scripts/mm_scorer_bench.py
 
 # 7. Swin-B/384 128-img: the vmapped cohort path A/B (ROADMAP #2's lever)
 run 1800 env BENCH_MODEL=swin_base_patch4_window12_384 BENCH_CALIB=128 BENCH_REPEATS=1 BENCH_PROBE_MAX=2 PTQ4VIT_TPU_PALLAS=0 python bench.py

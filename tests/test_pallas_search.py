@@ -284,3 +284,28 @@ def test_mm_fold_factor_model_shapes():
     assert _mm_fold_factor(8, 49, 32) == 4
     assert _mm_fold_factor(12, 64, 577) == 1         # ViT-B/384
     assert _mm_fold_factor(12, 577, 64) == 1
+
+
+def test_matmul_scorer_rowsum_variant_close(rng, monkeypatch):
+    """PTQ4VIT_TPU_MM_ROWSUM=1 (row-reduce before the per-head masked sums)
+    changes only fp32 summation order — sims match to 1e-6."""
+    from ptq4vit_tpu.ops import pallas_search as ps
+    S, G, R, Ci, Co, P = 3, 8, 49, 32, 49, 5
+    A = rng.standard_normal((S, G, R, Ci)).astype(np.float32)
+    B = rng.standard_normal((S, G, Ci, Co)).astype(np.float32)
+    grad = rng.standard_normal((S, G, R, Co)).astype(np.float32)
+    base = np.abs(A).max(axis=(0, 2, 3)) / 127.5
+    cands = (base[None, :] *
+             np.linspace(0.3, 1.2, P)[:, None]).astype(np.float32)
+    bint = (np.abs(B).max(axis=(0, 2, 3)) / 127.5).astype(np.float32)
+
+    def run():
+        ps.matmul_hessian_sims._clear_cache()
+        return np.asarray(ps.matmul_hessian_sims(
+            jnp.asarray(A), jnp.asarray(B), jnp.asarray(grad),
+            jnp.asarray(cands), jnp.asarray(bint), "a", 128, 128,
+            interpret=True))
+
+    ref = run()
+    monkeypatch.setenv("PTQ4VIT_TPU_MM_ROWSUM", "1")
+    np.testing.assert_allclose(ref, run(), rtol=1e-6)
