@@ -638,10 +638,13 @@ def matmul_hessian_sims(A, B, grad, cands, fixed_int, mode: str,
                   + (Rp * Cip if mode == "a" else Cip * Cop) * 4  # cand f32
                   + (Rp * Cip if mode != "a" else Cip * Cop)    # fixed levels
                   * (2 if mode == "b_sos" else 1))
+    # VMEM is ~16 MB/core; 12 MB leaves margin for Mosaic's own buffers.
+    # (The folded window-144 tiles are ~1.7 MB/sample — a 24 MB budget
+    # would pick SB=8 and overflow physical VMEM.)
     sb_cap = int(os.environ.get("PTQ4VIT_TPU_MM_SB", "16"))
     SB = 1
     for sb_try in (16, 8, 4, 2):
-        if sb_try <= sb_cap and sb_try * per_sample <= 24 << 20:
+        if sb_try <= sb_cap and sb_try * per_sample <= 12 << 20:
             SB = sb_try
             break
     Sp = _round_up(S, SB)
