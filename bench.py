@@ -62,14 +62,36 @@ def _await_healthy_device(max_probes: int = 10, probe_timeout: int = 120,
     return False
 
 
+def _last_measured(metric: str):
+    """Newest row for `metric` from the committed grid artifacts — so an
+    outage-time bench failure can still point at the last real measurement
+    (clearly marked as such, value stays null)."""
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in sorted(glob.glob(os.path.join(here, "GRID_r*.jsonl"))):
+        try:
+            for line in open(path):
+                row = json.loads(line)
+                if row.get("metric") == metric and row.get("value"):
+                    best = {"value": row["value"],
+                            "vs_baseline": row.get("vs_baseline"),
+                            "from": os.path.basename(path)}
+        except Exception:
+            continue
+    return best
+
+
 def main():
+    metric = f"ptq4vit_calib_minutes_{MODEL}_{CALIB}imgs"
     if os.environ.get("BENCH_SKIP_PROBE") != "1" and not _await_healthy_device(
             max_probes=int(os.environ.get("BENCH_PROBE_MAX", "10"))):
         print(json.dumps({
-            "metric": f"ptq4vit_calib_minutes_{MODEL}_{CALIB}imgs",
+            "metric": metric,
             "value": None, "unit": "min", "vs_baseline": None,
             "error": "device unreachable: trivial matmul probe hung/failed "
-                     "for ~30 min (axon tunnel outage)"}))
+                     "(axon tunnel outage)",
+            "last_measured": _last_measured(metric)}))
         return
     # persistent XLA compilation cache: repeat runs (and the driver's bench
     # invocations) skip the expensive compiles
