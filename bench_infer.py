@@ -26,7 +26,7 @@ def main():
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                     "/tmp/ptq4vit_tpu_xla_cache"))
+                                     "/root/repo/.xla_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from ptq4vit_tpu.configs import ptq4vit

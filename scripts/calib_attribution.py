@@ -11,7 +11,7 @@ from collections import defaultdict
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ptq4vit_tpu_xla_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.xla_cache")
 
 MODEL = sys.argv[1] if len(sys.argv) > 1 else "swin_base_patch4_window12_384"
 CALIB = int(sys.argv[2]) if len(sys.argv) > 2 else 128
@@ -19,7 +19,7 @@ CALIB = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ptq4vit_tpu_xla_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.xla_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
     from ptq4vit_tpu.configs import ptq4vit

@@ -11,7 +11,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/ptq4vit_tpu_xla_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.xla_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
