@@ -62,18 +62,53 @@ def _await_healthy_device(max_probes: int = 10, probe_timeout: int = 120,
     return False
 
 
+def _probe_tflops():
+    """Amortized bf16 matmul throughput right now, in TFLOP/s — quantifies
+    tunnel weather (healthy chip ≈ 112, CLAUDE.md).  16 chained 4096³ dots
+    in ONE dispatch so the ~130 ms tunnel latency doesn't dominate.  Runs
+    BEFORE the timed calibration so it cannot perturb the metric."""
+    import jax
+    import jax.numpy as jnp
+    if jax.default_backend() == "cpu":
+        return None
+    try:
+        @jax.jit
+        def chain(x, w):
+            for _ in range(16):
+                x = x @ w
+            return x.sum()
+        x = jnp.ones((4096, 4096), jnp.bfloat16)
+        chain(x, x).block_until_ready()          # compile + warm
+        t0 = time.time()
+        chain(x, x).block_until_ready()
+        dt = time.time() - t0
+        return round(16 * 2 * 4096**3 / dt / 1e12, 1)
+    except Exception:
+        return None
+
+
 def _last_measured(metric: str):
-    """Newest row for `metric` from the committed grid artifacts — so an
-    outage-time bench failure can still point at the last real measurement
-    (clearly marked as such, value stays null)."""
+    """Best committed measurement of `metric` across the grid, bench and
+    device-window artifacts — so an outage-time bench failure can still
+    point at the last real measurement (clearly marked as such, value stays
+    null), and a contention-window success can cite the machine's real
+    number."""
     import glob
     here = os.path.dirname(os.path.abspath(__file__))
     best = None
-    for path in sorted(glob.glob(os.path.join(here, "GRID_r*.jsonl"))):
+    paths = (sorted(glob.glob(os.path.join(here, "GRID_r*.jsonl")))
+             + sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+             + sorted(glob.glob(os.path.join(here, "artifacts",
+                                             "DEVICE_RESULTS_*.jsonl"))))
+    for path in paths:
         try:
             for line in open(path):
+                line = line.strip()
+                if not line:
+                    continue
                 row = json.loads(line)
-                if row.get("metric") == metric and row.get("value"):
+                if (row.get("metric") == metric and row.get("value")
+                        and (best is None or row["value"] < best["value"])):
                     best = {"value": row["value"],
                             "vs_baseline": row.get("vs_baseline"),
                             "from": os.path.basename(path)}
@@ -105,6 +140,8 @@ def main():
     from ptq4vit_tpu.models import get_net
     from ptq4vit_tpu.utils.synthetic import synthetic_images
 
+    probe_tflops = _probe_tflops()
+
     net = get_net(MODEL)
     calib = synthetic_images(CALIB, net.cfg.img_size, seed=3)
 
@@ -134,8 +171,8 @@ def main():
     minutes, r = min(runs, key=lambda mr: mr[0])
     capture_s = r.capture_seconds
     search_s = sum(r.search_seconds.values())
-    print(json.dumps({
-        "metric": f"ptq4vit_calib_minutes_{MODEL}_{CALIB}imgs",
+    out = {
+        "metric": metric,
         "value": round(minutes, 3),
         "unit": "min",
         "vs_baseline": (round(BASELINE_MIN / minutes, 2)
@@ -147,7 +184,15 @@ def main():
         "other_s": round(minutes * 60 - capture_s - search_s
                          - r.target_seconds - r.sync_seconds, 1),
         "all_minutes": [round(m, 3) for m, _ in runs],
-    }))
+    }
+    if probe_tflops is not None:
+        out["probe_bf16_tflops"] = probe_tflops  # healthy chip ≈ 112
+    best = _last_measured(metric)
+    if best and best["value"] and minutes > 1.3 * best["value"]:
+        # this run landed in a tunnel contention window (BENCH_NOTES.md);
+        # point at the best committed measurement of the same metric
+        out["best_recorded"] = best
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
