@@ -29,6 +29,9 @@ def main():
                                      "/root/repo/.xla_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    from bench import _probe_tflops
+    probe_tflops = _probe_tflops()
+
     from ptq4vit_tpu.configs import ptq4vit
     from ptq4vit_tpu.models import get_net
     from ptq4vit_tpu.utils.synthetic import synthetic_qstate
@@ -78,6 +81,9 @@ def main():
     print(json.dumps({
         "metric": f"infer_images_per_s_{model}_bs{bs}"
                   + (f"_w{bits}a{bits}" if bits != 8 else ""),
+        # tunnel-weather stamp: healthy chip ~112 bf16 TFLOP/s (CLAUDE.md)
+        **({"probe_bf16_tflops": probe_tflops}
+           if probe_tflops is not None else {}),
         "fp32": round(fp32, 1),
         "bf16": round(bf16, 1),
         "fake_quant": round(fake, 1),
