@@ -1,28 +1,27 @@
 #!/usr/bin/env python
-"""Harvest bench JSON lines out of a device-window log into a structured
+"""Harvest bench JSON lines out of device-window logs into a structured
 repo artifact (artifacts/DEVICE_RESULTS_r03.jsonl).
 
-The device queue (scripts/device_window_r3d.sh) logs free-form stdout from
+The device queue (scripts/device_queue.sh) logs free-form stdout from
 bench.py / bench_infer.py runs; each of those prints exactly one JSON line
-with a "metric" key.  This script rescans the whole log (idempotent — the
-output file is rewritten, not appended) and tags every JSON row with the
-queue command that produced it, so A/B runs of the same metric (e.g. the
-PTQ4VIT_TPU_PALLAS=0 cohort A/B) stay distinguishable.
+with a "metric" key.  This script rescans ALL artifacts/device_log_*.txt
+logs (idempotent — the output file is rewritten, not appended) and tags
+every JSON row with the queue command that produced it, so A/B runs of the
+same metric (e.g. the PTQ4VIT_TPU_PALLAS=0 cohort A/B) stay
+distinguishable.
 
-Usage: python scripts/harvest_device_log.py [logfile] [out.jsonl]
+Usage: python scripts/harvest_device_log.py [logfile ...] [--out out.jsonl]
+       (no args: every artifacts/device_log_*.txt, in name order)
 """
+import glob
 import json
 import os
 import sys
 
 
-def harvest(log_path: str, out_path: str) -> int:
+def harvest_lines(lines):
     rows = []
     cmd = None
-    try:
-        lines = open(log_path, errors="replace").read().splitlines()
-    except OSError:
-        return 0
     for line in lines:
         if line.startswith("=== ") and line.endswith(") ==="):
             cmd = line[4:].rsplit(" (", 1)[0]
@@ -35,6 +34,17 @@ def harvest(log_path: str, out_path: str) -> int:
             continue
         if isinstance(row, dict) and "metric" in row:
             rows.append({"cmd": cmd, **row})
+    return rows
+
+
+def harvest(log_paths, out_path: str) -> int:
+    rows = []
+    for log_path in log_paths:
+        try:
+            lines = open(log_path, errors="replace").read().splitlines()
+        except OSError:
+            continue
+        rows.extend(harvest_lines(lines))
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     tmp = out_path + ".tmp"
     with open(tmp, "w") as f:
@@ -46,9 +56,13 @@ def harvest(log_path: str, out_path: str) -> int:
 
 if __name__ == "__main__":
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    log = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        here, "artifacts", "device_log_r3e.txt")
-    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        here, "artifacts", "DEVICE_RESULTS_r03.jsonl")
-    n = harvest(log, out)
-    print(f"harvested {n} result rows -> {out}")
+    args = sys.argv[1:]
+    out = os.path.join(here, "artifacts", "DEVICE_RESULTS_r03.jsonl")
+    if "--out" in args:
+        i = args.index("--out")
+        out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    logs = args or sorted(glob.glob(
+        os.path.join(here, "artifacts", "device_log_*.txt")))
+    n = harvest(logs, out)
+    print(f"harvested {n} result rows from {len(logs)} logs -> {out}")
