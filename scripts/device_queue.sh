@@ -26,7 +26,9 @@ run 900 env BENCH_MODEL=swin_base_patch4_window12_384 BENCH_PROBE_MAX=2 python b
 
 # 3. 128-img grid for the whole zoo (ROADMAP #6); short probe patience so a
 #    mid-grid outage fails each cell fast instead of burning 30 min per model
-run 14400 env BENCH_PROBE_MAX=2 bash scripts/run_grid.sh /tmp/grid128.jsonl 128
+# grid rows append to a repo-resident artifact (NOT /tmp: wiped between
+# sessions; a mid-grid death must not lose the completed cells)
+run 14400 env BENCH_PROBE_MAX=2 bash scripts/run_grid.sh artifacts/grid128.jsonl 128
 
 # 4. serving: exact vs relaxed, ViT-B/384 and Swin-B/384
 run 1800 env BENCH_PROBE_MAX=2 python bench_infer.py
