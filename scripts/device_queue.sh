@@ -17,8 +17,10 @@ run 120 python -c "import jax, jax.numpy as jnp; x=jnp.ones((256,256), jnp.bfloa
 
 # 1. the headline 128-img flagships with the new SB+fold scorer grid
 #    (Swin-B/384 was 6.57 min / 10.5x — the weakest published ratio)
-run 1800 env BENCH_MODEL=swin_base_patch4_window12_384 BENCH_CALIB=128 BENCH_PROBE_MAX=2 python bench.py
-run 1200 env BENCH_MODEL=vit_base_patch16_384 BENCH_CALIB=128 BENCH_PROBE_MAX=2 python bench.py
+# timeouts sized for a contention-polluted run 1 + a clean run 2 (bench.py
+# prints only at the END of both repeats — a too-tight timeout loses both)
+run 2700 env BENCH_MODEL=swin_base_patch4_window12_384 BENCH_CALIB=128 BENCH_PROBE_MAX=2 python bench.py
+run 1800 env BENCH_MODEL=vit_base_patch16_384 BENCH_CALIB=128 BENCH_PROBE_MAX=2 python bench.py
 
 # 2. 32-img flagships (refresh the headline BENCH numbers with fold on)
 run 900 env BENCH_PROBE_MAX=2 python bench.py
