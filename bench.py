@@ -167,7 +167,16 @@ def main():
     # degrade 1.5-10x (BENCH_NOTES.md); best-of-N reports the machine, not
     # the tunnel weather.  Run 1 also absorbs any cold compiles.
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
-    runs = [one_run() for _ in range(max(1, repeats))]
+    runs = []
+    for i in range(max(1, repeats)):
+        runs.append(one_run())
+        # interim row on STDERR after every repeat: a timeout mid-run-2 no
+        # longer loses run 1's measurement (stdout stays ONE json line);
+        # device-window logs capture 2>&1, the harvester keeps the rows
+        import sys
+        print(json.dumps({"metric": metric, "interim": True,
+                          "run": i + 1, "value": round(runs[-1][0], 3),
+                          "unit": "min"}), file=sys.stderr, flush=True)
     minutes, r = min(runs, key=lambda mr: mr[0])
     capture_s = r.capture_seconds
     search_s = sum(r.search_seconds.values())
