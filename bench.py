@@ -17,6 +17,12 @@ import time
 
 MODEL = os.environ.get("BENCH_MODEL", "vit_base_patch16_384")
 CALIB = int(os.environ.get("BENCH_CALIB", "32"))
+# the reference grid also crosses configs {PTQ4ViT, BasePTQ} and bits
+# {(8,8), (6,6)} (example/test_all.py:100-113); expose both so device
+# windows can time those cells too.  Non-default settings suffix the
+# metric name so artifact rows never mix cells.
+CONFIG = os.environ.get("BENCH_CONFIG", "PTQ4ViT")
+BITS = tuple(int(b) for b in os.environ.get("BENCH_BITS", "8,8").split(","))
 # reference calibration minutes (README.md:28-40) per (model, calib size)
 _BASELINES = {
     "vit_small_patch32_224": {32: 2, 128: 5},
@@ -119,6 +125,15 @@ def _last_measured(metric: str):
 
 def main():
     metric = f"ptq4vit_calib_minutes_{MODEL}_{CALIB}imgs"
+    if CONFIG != "PTQ4ViT":
+        metric += f"_{CONFIG.lower()}"
+    if BITS != (8, 8):
+        metric += f"_w{BITS[0]}a{BITS[1]}"
+    # published reference timings are the PTQ4ViT W8A8 cells; any other
+    # cell has no denominator
+    global BASELINE_MIN
+    if CONFIG != "PTQ4ViT" or BITS != (8, 8):
+        BASELINE_MIN = None
     if os.environ.get("BENCH_SKIP_PROBE") != "1" and not _await_healthy_device(
             max_probes=int(os.environ.get("BENCH_PROBE_MAX", "10"))):
         print(json.dumps({
@@ -136,7 +151,7 @@ def main():
                                      "/root/repo/.xla_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
-    from ptq4vit_tpu.configs import ptq4vit
+    from ptq4vit_tpu.configs import apply_modifier, get_config
     from ptq4vit_tpu.models import get_net
     from ptq4vit_tpu.utils.synthetic import synthetic_images
 
@@ -150,9 +165,15 @@ def main():
                    if os.environ.get("BENCH_CACHE_DTYPE") == "bfloat16"
                    else None)
 
+    def make_cfg():
+        cfg = get_config(CONFIG)
+        if BITS != (8, 8):
+            apply_modifier(cfg, bit_setting=BITS)
+        return cfg
+
     def one_run():
         t0 = time.time()
-        calibrator = HessianQuantCalibrator(net, ptq4vit(), calib,
+        calibrator = HessianQuantCalibrator(net, make_cfg(), calib,
                                             sequential=False, batch_size=4,
                                             cache_dtype=cache_dtype)
         qstate = calibrator.batching_quant_calib(verbose=False)
