@@ -24,4 +24,10 @@ run 1200 env BENCH_BITS=6,6 BENCH_MODEL=swin_base_patch4_window12_384 BENCH_PROB
 run 900 env BENCH_CONFIG=BasePTQ BENCH_PROBE_MAX=2 python bench.py
 run 1200 env BENCH_CONFIG=BasePTQ BENCH_MODEL=swin_base_patch4_window12_384 BENCH_PROBE_MAX=2 python bench.py
 
+# Warm-cache retry of the headline 128-img cells in case window g's first
+# attempt spent its budget on the fold/SB kernels' fresh remote compiles
+# (the persistent cache keeps those even when the run times out).
+run 2700 env BENCH_MODEL=swin_base_patch4_window12_384 BENCH_CALIB=128 BENCH_PROBE_MAX=2 python bench.py
+run 1800 env BENCH_MODEL=vit_base_patch16_384 BENCH_CALIB=128 BENCH_PROBE_MAX=2 python bench.py
+
 echo "QUEUE DONE $(date)" >> "$LOG"
