@@ -189,15 +189,34 @@ def main():
     # the tunnel weather.  Run 1 also absorbs any cold compiles.
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     runs = []
+    import sys
+    errors = []
     for i in range(max(1, repeats)):
-        runs.append(one_run())
+        # a single crashed repeat (e.g. the tunnel's remote compile helper
+        # SIGTERMing mid-compile, seen as JaxRuntimeError HTTP 500) must not
+        # lose the other repeats — every compile that DID land is in the
+        # persistent cache, so the next repeat resumes warm
+        try:
+            runs.append(one_run())
+        except Exception as e:
+            errors.append(f"run {i + 1}: {type(e).__name__}: {e}")
+            print(json.dumps({"metric": metric, "interim": True,
+                              "run": i + 1, "error": errors[-1][:500]}),
+                  file=sys.stderr, flush=True)
+            continue
         # interim row on STDERR after every repeat: a timeout mid-run-2 no
         # longer loses run 1's measurement (stdout stays ONE json line);
         # device-window logs capture 2>&1, the harvester keeps the rows
-        import sys
         print(json.dumps({"metric": metric, "interim": True,
                           "run": i + 1, "value": round(runs[-1][0], 3),
                           "unit": "min"}), file=sys.stderr, flush=True)
+    if not runs:
+        print(json.dumps({
+            "metric": metric, "value": None, "unit": "min",
+            "vs_baseline": None,
+            "error": f"all {max(1, repeats)} runs failed: {errors[-1][:500]}",
+            "last_measured": _last_measured(metric)}))
+        return
     minutes, r = min(runs, key=lambda mr: mr[0])
     capture_s = r.capture_seconds
     search_s = sum(r.search_seconds.values())
