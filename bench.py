@@ -22,7 +22,16 @@ CALIB = int(os.environ.get("BENCH_CALIB", "32"))
 # windows can time those cells too.  Non-default settings suffix the
 # metric name so artifact rows never mix cells.
 CONFIG = os.environ.get("BENCH_CONFIG", "PTQ4ViT")
-BITS = tuple(int(b) for b in os.environ.get("BENCH_BITS", "8,8").split(","))
+_bits_raw = os.environ.get("BENCH_BITS", "8,8")
+BITS = tuple(int(b) for b in _bits_raw.split(","))
+if len(BITS) != 2:
+    raise SystemExit(f"BENCH_BITS must be 'w,a' (two ints), got {_bits_raw!r}")
+# the reference grid applies cfg_modifier(metric="hessian") to EVERY cell —
+# including BasePTQ (example/test_all.py:100-113) — so grid parity means the
+# BasePTQ cells run the hessian metric (gradient capture included), not
+# BasePTQ's own cosine default.  BENCH_METRIC=config opts back into the raw
+# config metric (suffixed in the metric name so rows never mix).
+METRIC = os.environ.get("BENCH_METRIC", "hessian")
 # reference calibration minutes (README.md:28-40) per (model, calib size)
 _BASELINES = {
     "vit_small_patch32_224": {32: 2, 128: 5},
@@ -68,29 +77,48 @@ def _await_healthy_device(max_probes: int = 10, probe_timeout: int = 120,
     return False
 
 
+HEALTHY_BF16_TFLOPS = 112.0  # measured amortized rate, CLAUDE.md
+
+
 def _probe_tflops():
-    """Amortized bf16 matmul throughput right now, in TFLOP/s — quantifies
-    tunnel weather (healthy chip ≈ 112, CLAUDE.md).  16 chained 4096³ dots
-    in ONE dispatch so the ~130 ms tunnel latency doesn't dominate.  Runs
-    BEFORE the timed calibration so it cannot perturb the metric."""
+    """Amortized bf16 matmul throughput right now, in (TFLOP/s, invalid) —
+    quantifies tunnel weather (healthy chip ≈ 112, CLAUDE.md).  16 chained
+    4096³ dots in ONE dispatch so the ~130 ms tunnel latency doesn't
+    dominate.  Runs BEFORE the timed calibration so it cannot perturb the
+    metric.
+
+    Round-3's committed artifact stamped 13664 TFLOP/s — physically
+    impossible (~122x the chip), i.e. the second identical-args dispatch
+    never actually executed (result reuse somewhere behind the tunnel).
+    Defenses: the timed call gets DISTINCT random operands from the warm-up
+    call, the scalar is device_get (full round-trip), and any reading above
+    1.5x the healthy rate is flagged invalid instead of trusted."""
     import jax
     import jax.numpy as jnp
     if jax.default_backend() == "cpu":
-        return None
+        return None, False
     try:
         @jax.jit
         def chain(x, w):
             for _ in range(16):
                 x = x @ w
             return x.sum()
-        x = jnp.ones((4096, 4096), jnp.bfloat16)
-        chain(x, x).block_until_ready()          # compile + warm
+        k1, k2, k3, k4 = jax.random.split(jax.random.key(0), 4)
+        shape = (4096, 4096)
+        xw = jax.random.normal(k1, shape, jnp.bfloat16), \
+            jax.random.normal(k2, shape, jnp.bfloat16)
+        jax.device_get(chain(*xw))               # compile + warm
+        xw2 = jax.random.normal(k3, shape, jnp.bfloat16), \
+            jax.random.normal(k4, shape, jnp.bfloat16)
+        for a in xw2:
+            a.block_until_ready()                # materialize before timing
         t0 = time.time()
-        chain(x, x).block_until_ready()
+        jax.device_get(chain(*xw2))
         dt = time.time() - t0
-        return round(16 * 2 * 4096**3 / dt / 1e12, 1)
+        tflops = round(16 * 2 * 4096**3 / dt / 1e12, 1)
+        return tflops, tflops > 1.5 * HEALTHY_BF16_TFLOPS
     except Exception:
-        return None
+        return None, False
 
 
 def _last_measured(metric: str):
@@ -129,6 +157,8 @@ def main():
         metric += f"_{CONFIG.lower()}"
     if BITS != (8, 8):
         metric += f"_w{BITS[0]}a{BITS[1]}"
+    if METRIC != "hessian":
+        metric += f"_{METRIC}"
     # published reference timings are the PTQ4ViT W8A8 cells; any other
     # cell has no denominator
     global BASELINE_MIN
@@ -155,7 +185,7 @@ def main():
     from ptq4vit_tpu.models import get_net
     from ptq4vit_tpu.utils.synthetic import synthetic_images
 
-    probe_tflops = _probe_tflops()
+    probe_tflops, probe_invalid = _probe_tflops()
 
     net = get_net(MODEL)
     calib = synthetic_images(CALIB, net.cfg.img_size, seed=3)
@@ -166,9 +196,15 @@ def main():
                    else None)
 
     def make_cfg():
+        # the reference grid runs EVERY cell through
+        # cfg_modifier(metric="hessian", bit_setting=..., (1,1,1))
+        # (example/test_all.py:48-78,107-113) — a no-op for the default
+        # PTQ4ViT W8A8 cell, but it switches BasePTQ cells from their
+        # config-default cosine metric onto hessian (with gradient capture),
+        # which is the workload the published grid actually times.
         cfg = get_config(CONFIG)
-        if BITS != (8, 8):
-            apply_modifier(cfg, bit_setting=BITS)
+        apply_modifier(cfg, bit_setting=BITS,
+                       metric=None if METRIC == "config" else METRIC)
         return cfg
 
     def one_run():
@@ -236,6 +272,8 @@ def main():
     }
     if probe_tflops is not None:
         out["probe_bf16_tflops"] = probe_tflops  # healthy chip ≈ 112
+        if probe_invalid:
+            out["probe_invalid"] = True          # physically impossible read
     best = _last_measured(metric)
     if best and best["value"] and minutes > 1.3 * best["value"]:
         # this run landed in a tunnel contention window (BENCH_NOTES.md);

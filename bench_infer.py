@@ -30,7 +30,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from bench import _probe_tflops
-    probe_tflops = _probe_tflops()
+    probe_tflops, probe_invalid = _probe_tflops()
 
     from ptq4vit_tpu.configs import ptq4vit
     from ptq4vit_tpu.models import get_net
@@ -84,6 +84,7 @@ def main():
         # tunnel-weather stamp: healthy chip ~112 bf16 TFLOP/s (CLAUDE.md)
         **({"probe_bf16_tflops": probe_tflops}
            if probe_tflops is not None else {}),
+        **({"probe_invalid": True} if probe_invalid else {}),
         "fp32": round(fp32, 1),
         "bf16": round(bf16, 1),
         "fake_quant": round(fake, 1),
