@@ -3,6 +3,10 @@
 # model list).  One JSON line per model via bench.py; run TWICE for
 # warm-cache numbers (the persistent XLA cache makes run 2 compile-free).
 #   scripts/run_grid.sh [out.jsonl] [calib_size]
+# RESUMABLE: a model whose metric already has a successful row in out.jsonl
+# is skipped, so a mid-grid tunnel outage only costs the unfinished cells.
+# BENCH_CONFIG/BENCH_BITS/BENCH_METRIC pass through to bench.py (which
+# suffixes the metric name per cell, so mixed grids never collide).
 set -u
 OUT="${1:-/tmp/grid.jsonl}"
 CALIB="${2:-32}"
@@ -21,9 +25,19 @@ MODELS=(
   swin_base_patch4_window7_224
   swin_base_patch4_window12_384
 )
-: > "$OUT"
+touch "$OUT"
+suffix=""
+case "${BENCH_CONFIG:-PTQ4ViT}" in PTQ4ViT) ;; *) suffix="${suffix}_$(echo "${BENCH_CONFIG}" | tr 'A-Z' 'a-z')";; esac
+case "${BENCH_BITS:-8,8}" in 8,8) ;; *) suffix="${suffix}_w${BENCH_BITS%%,*}a${BENCH_BITS##*,}";; esac
+case "${BENCH_METRIC:-hessian}" in hessian) ;; *) suffix="${suffix}_${BENCH_METRIC}";; esac
 for m in "${MODELS[@]}"; do
-  BENCH_MODEL="$m" BENCH_CALIB="$CALIB" timeout 3600 python "$(dirname "$0")/../bench.py" \
+  metric="ptq4vit_calib_minutes_${m}_${CALIB}imgs${suffix}"
+  if grep -q "\"metric\": \"$metric\", \"value\": [0-9]" "$OUT" 2>/dev/null; then
+    echo "skip $m (already measured in $OUT)"
+    continue
+  fi
+  BENCH_MODEL="$m" BENCH_CALIB="$CALIB" timeout "${GRID_CELL_TIMEOUT:-3600}" \
+    python "$(dirname "$0")/../bench.py" \
     >> "$OUT" 2>> "$OUT.err" || echo "{\"metric\": \"$m\", \"error\": true}" >> "$OUT"
 done
 cat "$OUT"
