@@ -71,6 +71,14 @@ def _dot_i8(a, b):
         preferred_element_type=jnp.int32)
 
 
+def _rnd32(x):
+    """round-to-nearest-even via f32: Mosaic cannot legalize
+    ``math.roundeven`` on bf16 vectors (device-window r4 failure), and
+    bf16->f32 is exact, so rounding the relaxed path's bf16 products in
+    f32 is value-identical and compiles."""
+    return jnp.round(x.astype(jnp.float32))
+
+
 # VMEM working-set budget (double-buffered x/out tiles + the resident
 # weight slab must fit in ~16 MB/core with headroom)
 _VMEM_BUDGET = 10 * 2 ** 20
@@ -147,9 +155,9 @@ def _linear_kernel(scal_ref, lnw_ref, lnb_ref, x_ref, w_ref, ws_ref, b_ref,
             # per-column requant for the next op (qkv -> attention handoff)
             osc = osc_ref[0, :][None, :]
             if relaxed:
-                return jnp.clip(jnp.round(out.astype(jnp.bfloat16)
-                                          * (1.0 / osc)
-                                          .astype(jnp.bfloat16)),
+                return jnp.clip(_rnd32(out.astype(jnp.bfloat16)
+                                       * (1.0 / osc)
+                                       .astype(jnp.bfloat16)),
                                 -out_qmax, out_qmax - 1).astype(jnp.int8)
             return jnp.clip(jnp.round(out / osc), -out_qmax, out_qmax - 1) \
                 .astype(jnp.int8)
@@ -159,11 +167,11 @@ def _linear_kernel(scal_ref, lnw_ref, lnb_ref, x_ref, w_ref, ws_ref, b_ref,
             o_neg = scal_ref[0, 4]
             if relaxed:
                 h = out.astype(jnp.bfloat16)
-                p = jnp.clip(jnp.round(h * (1.0 / o_pos)
-                                       .astype(jnp.bfloat16)),
+                p = jnp.clip(_rnd32(h * (1.0 / o_pos)
+                                    .astype(jnp.bfloat16)),
                              0, out_qmax - 1)
-                n = jnp.clip(jnp.round(h * (1.0 / o_neg)
-                                       .astype(jnp.bfloat16)),
+                n = jnp.clip(_rnd32(h * (1.0 / o_neg)
+                                    .astype(jnp.bfloat16)),
                              -out_qmax, 0)
                 return (p + n).astype(jnp.int8)
             p = jnp.clip(jnp.round(out / o_pos), 0, out_qmax - 1)
@@ -352,11 +360,11 @@ def _attn_math(q_in, kt_in, v_in, a1, b1, a2, b2, split, scale, a_out, *,
         a_int = split / (A2_qmax - 1)
         if relaxed:
             sp = split.astype(jnp.bfloat16)
-            hi = jnp.clip(jnp.round(jnp.clip(p, sp, 1.0)
-                                    * jnp.bfloat16(A2_qmax - 1)),
+            hi = jnp.clip(_rnd32(jnp.clip(p, sp, 1.0)
+                                 * jnp.bfloat16(A2_qmax - 1)),
                           0, A2_qmax - 1).astype(jnp.int8)
-            lo = jnp.clip(jnp.round(jnp.clip(p, jnp.bfloat16(0.0), sp)
-                                    * (1.0 / a_int).astype(jnp.bfloat16)),
+            lo = jnp.clip(_rnd32(jnp.clip(p, jnp.bfloat16(0.0), sp)
+                                 * (1.0 / a_int).astype(jnp.bfloat16)),
                           0, A2_qmax - 1).astype(jnp.int8)
         else:
             hi = jnp.clip(jnp.round(jnp.clip(p, split, 1.0) * (A2_qmax - 1)),
@@ -367,7 +375,7 @@ def _attn_math(q_in, kt_in, v_in, a1, b1, a2, b2, split, scale, a_out, *,
                + pv_dot(lo, v_int).astype(jnp.float32) * a_int)
     else:
         if relaxed:
-            p_int = jnp.clip(jnp.round(p * (1.0 / a2).astype(jnp.bfloat16)),
+            p_int = jnp.clip(_rnd32(p * (1.0 / a2).astype(jnp.bfloat16)),
                              -A2_qmax, A2_qmax - 1).astype(jnp.int8)
         else:
             p_int = jnp.clip(jnp.round(p / a2), -A2_qmax, A2_qmax - 1) \
@@ -377,8 +385,8 @@ def _attn_math(q_in, kt_in, v_in, a1, b1, a2, b2, split, scale, a_out, *,
     if out_q8:
         # re-quantize for the proj linear's int8 input (its a_qmax levels)
         if relaxed:
-            return jnp.clip(jnp.round(out.astype(jnp.bfloat16)
-                                      * (1.0 / a_out).astype(jnp.bfloat16)),
+            return jnp.clip(_rnd32(out.astype(jnp.bfloat16)
+                                   * (1.0 / a_out).astype(jnp.bfloat16)),
                             -O_qmax, O_qmax - 1).astype(jnp.int8)
         return jnp.clip(jnp.round(out / a_out), -O_qmax, O_qmax - 1) \
             .astype(jnp.int8)
@@ -881,8 +889,8 @@ def _win_qkv_kernel(scal_ref, lnw_ref, lnb_ref, x_ref, w_ref, ws_ref,
            * ws_ref[0, :][None, :] + b_ref[0, :][None, :])
     osc = osc_ref[0, :][None, :]
     if relaxed:
-        q = jnp.round(out.astype(jnp.bfloat16) * (1.0 / osc)
-                      .astype(jnp.bfloat16))
+        q = _rnd32(out.astype(jnp.bfloat16) * (1.0 / osc)
+                   .astype(jnp.bfloat16))
     else:
         q = jnp.round(out / osc)
     out_ref[:] = jnp.clip(q, -out_qmax, out_qmax - 1) \
