@@ -472,15 +472,37 @@ class HessianQuantCalibrator:
                             raw[n] = None
                         dispatched.append(names)
 
-            for name in group:
-                if name in qstate:
-                    continue
-                mtype = mtypes[name]
+            # Per-op searches.  Dispatch is host-bound on a FRESH process:
+            # each new shape's trace + persistent-cache deserialize +
+            # executable load through the tunnel runs serially before the
+            # (async) enqueue, so a cold run costs ~sum(loads) while the
+            # device starves (measured fresh/warm 0.93/0.15 min ViT-B/384).
+            # PTQ4VIT_TPU_DISPATCH_THREADS=K > 1 dispatches the independent
+            # per-op searches from a K-thread pool so those compile-loads
+            # overlap; results land in group order, so the attribution
+            # block loop below is unchanged (its per-op times become
+            # approximate when enqueue order interleaves across threads).
+            remaining = [n for n in group if n not in qstate]
+            n_threads = max(1, int(os.environ.get(
+                "PTQ4VIT_TPU_DISPATCH_THREADS", "1")))
+
+            def one(name):
                 t0 = time.time()
-                qp = self._search_one(name, mtype, policies[name], raw[name])
-                self.report.search_seconds[name] = time.time() - t0
+                qp = self._search_one(name, mtypes[name], policies[name],
+                                      raw[name])
+                return qp, time.time() - t0
+
+            if n_threads > 1 and len(remaining) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(n_threads) as pool:
+                    futs = [(n, pool.submit(one, n)) for n in remaining]
+                    results = [(n, f.result()) for n, f in futs]
+            else:
+                results = [(n, one(n)) for n in remaining]
+            for name, (qp, dt) in results:
+                self.report.search_seconds[name] = dt
                 qstate[name] = qp
-                self._save_ckpt(name, mtype, qp)
+                self._save_ckpt(name, mtypes[name], qp)
                 raw[name] = None  # free the group caches eagerly
                 dispatched.append([name])
 

@@ -72,11 +72,19 @@ run mmab_default 580 python scripts/mm_scorer_bench.py
 run mmab_nosb    580 env PTQ4VIT_TPU_MM_SB=1 python scripts/mm_scorer_bench.py
 run mmab_nofold  580 env PTQ4VIT_TPU_MM_FOLD=1 python scripts/mm_scorer_bench.py
 
+# 8. fresh-run latency A/B (VERDICT 8): PTQ4VIT_TPU_DISPATCH_THREADS=4
+#    overlaps the per-op search compile-loads that dominate a cold process;
+#    all_minutes[0] of each run is the fresh number, [1] the warm control
+run fresh_ab_vit_base    1200 env BENCH_MODEL=vit_base_patch16_384 BENCH_PROBE_MAX=2 python bench.py
+run fresh_ab_vit_threads 1200 env BENCH_MODEL=vit_base_patch16_384 BENCH_PROBE_MAX=2 PTQ4VIT_TPU_DISPATCH_THREADS=4 python bench.py
+run fresh_ab_sw_threads  1500 env BENCH_MODEL=swin_base_patch4_window12_384 BENCH_PROBE_MAX=2 PTQ4VIT_TPU_DISPATCH_THREADS=4 python bench.py
+
 # exit 0 only when every step is done, so a relaunch loop knows to continue
 missing=""
 for n in sw128 vit128 serve_vit serve_swin grid32_baseptq grid32_w6a6 \
          grid128 ab_sw128_nosb ab_sw128_nofold ab_sw128_nopallas \
-         attr_sw128 mmab_default mmab_nosb mmab_nofold; do
+         attr_sw128 mmab_default mmab_nosb mmab_nofold \
+         fresh_ab_vit_base fresh_ab_vit_threads fresh_ab_sw_threads; do
   [ -e "artifacts/r4_done/$n.ok" ] || missing="$missing $n"
 done
 echo "QUEUE PASS DONE $(date), missing:${missing:- none}" >> "$LOG"

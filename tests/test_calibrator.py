@@ -275,6 +275,25 @@ def test_hbm_planner_budget_shrink(net, calib_x, monkeypatch):
                                        rtol=1e-6)
 
 
+def test_dispatch_threads_same_qstate(net, calib_x, monkeypatch):
+    """PTQ4VIT_TPU_DISPATCH_THREADS=4 (fresh-run lever: per-op search
+    compile-loads dispatched from a thread pool instead of serially) must
+    produce a BITWISE-identical calibrated state — the searches are
+    independent pure programs; only host dispatch concurrency changes."""
+    cfg = small_cfg(ptq4vit())
+    ref = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4) \
+        .batching_quant_calib(verbose=False)
+    monkeypatch.setenv("PTQ4VIT_TPU_DISPATCH_THREADS", "4")
+    # disable cohorts so every search rides the threaded per-op path
+    monkeypatch.setenv("PTQ4VIT_TPU_MATMUL_COHORT", "0")
+    q = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4) \
+        .batching_quant_calib(verbose=False)
+    assert set(ref) == set(q)
+    for n in ref:
+        for a, b in zip(jax.tree.leaves(ref[n]), jax.tree.leaves(q[n])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_cache_dtype_defaults(net, calib_x, monkeypatch):
     """cache_dtype resolution: fp32 on the CPU backend (exact parity),
     "auto" forces bf16, and PTQ4VIT_TPU_CACHE_DTYPE overrides both ways."""
