@@ -45,8 +45,14 @@ def main():
                                     num_heads=2, num_classes=10)
             mod = vit_mod
         else:
+            # head_dim must divide 128 and heads >= 128/head_dim for the
+            # fused window kernels to be in scope (_qkv_hp); embed 128 with
+            # heads (2, 4) gives hd=64 in both stages, so the relaxed
+            # epilogues of the ACTUAL window-band kernels are exercised
+            # (a 12-dim net silently falls back to the generic int8 path,
+            # where relaxed is a no-op — measured exactly-0 divergence)
             cfg = swin_mod.SwinConfig(name=f"rlx{i}", img_size=32,
-                                      patch_size=2, embed_dim=12,
+                                      patch_size=2, embed_dim=128,
                                       depths=(2, 2), num_heads=(2, 4),
                                       window_size=4, num_classes=10)
             mod = swin_mod
@@ -70,10 +76,32 @@ def main():
             .batching_quant_calib(verbose=False)
         packed = pack_weights(net.params, qstate)
         x = rng.standard_normal((32, 3, 32, 32)).astype(np.float32)
-        exact = np.asarray(net.apply(jnp.asarray(x), qstate=qstate,
-                                     int8="fused", packed=packed))
-        relaxed = np.asarray(net.apply(jnp.asarray(x), qstate=qstate,
-                                       int8="fused_relaxed", packed=packed))
+        # spy: the fused block kernels must actually engage (no silent
+        # generic-path fallback, where relaxed would be a no-op)
+        from ptq4vit_tpu.ops import int8_serve as ser
+        hits = {"n": 0}
+        saved = {f: getattr(ser, f)
+                 for f in ("fused_swin_block", "fused_vit_block")}
+        for fname, orig in saved.items():
+            def spy(*a, _o=orig, **kw):
+                r = _o(*a, **kw)
+                hits["n"] += r is not None
+                return r
+            setattr(ser, fname, spy)
+        try:
+            exact = np.asarray(net.apply(jnp.asarray(x), qstate=qstate,
+                                         int8="fused", packed=packed))
+            relaxed = np.asarray(net.apply(jnp.asarray(x), qstate=qstate,
+                                           int8="fused_relaxed",
+                                           packed=packed))
+        finally:
+            for fname, orig in saved.items():
+                setattr(ser, fname, orig)
+        # the spy fires at trace time, so only the first instance of each
+        # family (fresh jit cache) is asserted; identical shapes after
+        # that reuse the traced program and engagement carries over
+        assert i >= 2 or hits["n"] > 0, \
+            f"fused block path never engaged ({net.name})"
         shift = np.abs(relaxed - exact) / max(np.abs(exact).max(), 1e-9)
         max_shift = max(max_shift, float(shift.max()))
         mean_shifts.append(float(shift.mean()))

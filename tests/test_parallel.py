@@ -249,9 +249,64 @@ def test_mesh_swin_pallas_scorers_match_single_device(rng, monkeypatch):
             q_single[n], q_mesh[n])
 
 
+def test_mesh_swin_window_kernels_engage(rng):
+    """Swin fused serving at IN-SCOPE dims (embed 128 -> head_dim 64, so
+    the window-band Pallas kernels engage instead of the generic int8
+    fallback) shard_map'd over the data axis must match single-device.
+    A spy on ops.int8_serve.fused_swin_block (re-imported per call in
+    models/common.py, so the module attribute is live) proves the fused
+    path really ran on both sides."""
+    from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
+    from ptq4vit_tpu.configs import ptq4vit
+    from ptq4vit_tpu.models import swin as swin_mod
+    from ptq4vit_tpu.models.registry import DataConfig, Net
+    from ptq4vit_tpu.ops import int8_serve as ser
+    from ptq4vit_tpu.parallel import ServingEngine
+    from tests.test_calibrator import small_cfg
+    cfg = swin_mod.SwinConfig(name="mesh_swin128", img_size=32,
+                              patch_size=2, embed_dim=128, depths=(2, 2),
+                              num_heads=(2, 4), window_size=4,
+                              num_classes=7)
+    net = Net(name=cfg.name, cfg=cfg,
+              params=swin_mod.init_params(jax.random.PRNGKey(3), cfg),
+              forward=swin_mod.forward,
+              op_inventory=swin_mod.op_inventory(cfg),
+              op_shapes=swin_mod.op_shapes(cfg),
+              data_config=DataConfig(32, 1.0, (0.5,) * 3, (0.5,) * 3))
+    calib = rng.standard_normal((4, 3, 32, 32)).astype(np.float32)
+    qstate = HessianQuantCalibrator(net, small_cfg(ptq4vit()), calib,
+                                    batch_size=4) \
+        .batching_quant_calib(verbose=False)
+    x = rng.standard_normal((8, 3, 32, 32)).astype(np.float32)
+    hits = {"n": 0}
+    orig = ser.fused_swin_block
+
+    def spy(*a, **kw):
+        r = orig(*a, **kw)
+        hits["n"] += r is not None
+        return r
+
+    ser.fused_swin_block = spy
+    try:
+        single = np.asarray(
+            ServingEngine(net, qstate, compute_dtype=jnp.float32)(x))
+        assert hits["n"] > 0, "window-band kernels never engaged (1-dev)"
+        hits["n"] = 0
+        multi = np.asarray(
+            ServingEngine(net, qstate, mesh=make_mesh(8),
+                          compute_dtype=jnp.float32)(x))
+        assert hits["n"] > 0, "window-band kernels never engaged (mesh)"
+    finally:
+        ser.fused_swin_block = orig
+    np.testing.assert_allclose(multi, single, rtol=1e-5,
+                               atol=1e-5 * np.abs(single).max())
+
+
 def test_mesh_swin_fused_serving_matches_single_device(rng):
-    """Swin fused int8 serving (window-band Pallas kernels incl. shifted
-    windows) shard_map'd over the data axis must match single-device."""
+    """Swin fused int8 serving shard_map'd over the data axis must match
+    single-device.  (At these tiny dims — head_dim 6 — the window-band
+    kernels are out of scope and the engine takes the generic int8 path;
+    test_mesh_swin_window_kernels_engage covers the in-scope kernels.)"""
     from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
     from ptq4vit_tpu.configs import ptq4vit
     from ptq4vit_tpu.parallel import ServingEngine
