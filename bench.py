@@ -32,6 +32,12 @@ if len(BITS) != 2:
 # BasePTQ's own cosine default.  BENCH_METRIC=config opts back into the raw
 # config metric (suffixed in the metric name so rows never mix).
 METRIC = os.environ.get("BENCH_METRIC", "hessian")
+# BENCH_SEQUENTIAL=1 times the reference's sequential mode
+# (quant_calib.py:360-378: each op captured under the already-quantized
+# prefix) — practical on the tunneled TPU only because the shared
+# compiled-once capture plan (calib/capture.py SequentialCapturePlan)
+# removes the O(num_ops) per-step compiles.  Suffixed in the metric name.
+SEQUENTIAL = os.environ.get("BENCH_SEQUENTIAL") == "1"
 # reference calibration minutes (README.md:28-40) per (model, calib size)
 _BASELINES = {
     "vit_small_patch32_224": {32: 2, 128: 5},
@@ -77,7 +83,14 @@ def _await_healthy_device(max_probes: int = 10, probe_timeout: int = 120,
     return False
 
 
-HEALTHY_BF16_TFLOPS = 112.0  # measured amortized rate, CLAUDE.md
+# Amortized bf16 rate (CLAUDE.md) — physical ceiling for the probe; any
+# stamp above ~1.5x this cannot be a real execution.  NOTE the probe's
+# EMPIRICAL healthy band is lower: one 16-dot chain is a single dispatch
+# whose time includes the tunnel round-trip, so healthy windows stamp
+# ~50-62 (median ~56 across the r4 grids); degraded windows stamp <40
+# (e.g. 6.6 during a near-outage).  Cross-ref a run's stamp against that
+# band, not against 112.
+HEALTHY_BF16_TFLOPS = 112.0
 
 
 def _probe_tflops():
@@ -159,10 +172,14 @@ def main():
         metric += f"_w{BITS[0]}a{BITS[1]}"
     if METRIC != "hessian":
         metric += f"_{METRIC}"
+    if SEQUENTIAL:
+        metric += "_sequential"
+        if os.environ.get("PTQ4VIT_TPU_SEQ_SHARED") == "0":
+            metric += "_legacy"   # per-op structural captures A/B arm
     # published reference timings are the PTQ4ViT W8A8 cells; any other
     # cell has no denominator
     global BASELINE_MIN
-    if CONFIG != "PTQ4ViT" or BITS != (8, 8):
+    if CONFIG != "PTQ4ViT" or BITS != (8, 8) or SEQUENTIAL:
         BASELINE_MIN = None
     if os.environ.get("BENCH_SKIP_PROBE") != "1" and not _await_healthy_device(
             max_probes=int(os.environ.get("BENCH_PROBE_MAX", "10"))):
@@ -172,6 +189,10 @@ def main():
             "error": "device unreachable: trivial matmul probe hung/failed "
                      "(axon tunnel outage)",
             "last_measured": _last_measured(metric)}))
+        if os.environ.get("BENCH_STRICT_EXIT") == "1":
+            # queue mode: a probe-failed run must NOT count as done
+            # (the driver's own invocations stay exit-0 tolerant)
+            raise SystemExit(3)
         return
     # persistent XLA compilation cache: repeat runs (and the driver's bench
     # invocations) skip the expensive compiles
@@ -210,7 +231,8 @@ def main():
     def one_run():
         t0 = time.time()
         calibrator = HessianQuantCalibrator(net, make_cfg(), calib,
-                                            sequential=False, batch_size=4,
+                                            sequential=SEQUENTIAL,
+                                            batch_size=4,
                                             cache_dtype=cache_dtype)
         qstate = calibrator.batching_quant_calib(verbose=False)
         # force completion: fetch the (tiny) calibrated intervals — on the
@@ -252,6 +274,8 @@ def main():
             "vs_baseline": None,
             "error": f"all {max(1, repeats)} runs failed: {errors[-1][:500]}",
             "last_measured": _last_measured(metric)}))
+        if os.environ.get("BENCH_STRICT_EXIT") == "1":
+            raise SystemExit(3)
         return
     minutes, r = min(runs, key=lambda mr: mr[0])
     capture_s = r.capture_seconds

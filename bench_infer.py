@@ -21,7 +21,7 @@ def main():
                 "metric": f"infer_images_per_s_{model}_bs{bs}",
                 "value": None, "unit": "img/s",
                 "error": "device unreachable (axon tunnel outage)"}))
-            return
+            raise SystemExit(3)   # nonzero: queues must NOT mark this done
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir",

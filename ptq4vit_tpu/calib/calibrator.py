@@ -270,6 +270,50 @@ class HessianQuantCalibrator:
                 for s0 in range(0, len(self.calib_x), 8)])
             target = probe_target(raw_logits, self.probe_seed,
                                   self.probe_sigma) if need_grad else None
+
+            # Compiled-once structure sharing (default): ONE capture
+            # executable serves every step — the quantized prefix is a
+            # traced GatedQP flag per op and the tapped op a traced switch
+            # index (capture.SequentialCapturePlan), so the O(num_ops)
+            # per-step compiles (and per-step calib re-staging) of the
+            # naive formulation disappear.  PTQ4VIT_TPU_SEQ_SHARED=0
+            # restores the per-op structural captures (and is the
+            # fallback when a template QP cannot be shape-evaluated, e.g.
+            # the np-based quantile conv).
+            plan = None
+            if (os.environ.get("PTQ4VIT_TPU_SEQ_SHARED", "1") != "0"
+                    and self.mesh is None and todo):
+                try:
+                    from .capture import SequentialCapturePlan
+                    plan = SequentialCapturePlan(
+                        net, self.calib_x, batch_size=self.batch_size,
+                        need_grad=need_grad, probe_sigma=self.probe_sigma,
+                        target_probs=target,
+                        ops=[n for n, _ in self.wrapped_modules])
+                    templates = {
+                        n: self._template_qp(n, t, policies[n], plan)
+                        for n, t in self.wrapped_modules}
+                except Exception:
+                    plan = None
+            if plan is not None:
+                from ..quant.qparams import GatedQP
+                gated = {
+                    n: (GatedQP(qp=qstate[n], on=jnp.asarray(True))
+                        if n in qstate
+                        else GatedQP(qp=templates[n], on=jnp.asarray(False)))
+                    for n, _ in self.wrapped_modules}
+                for name, mtype in todo:
+                    t0 = time.time()
+                    raw = plan.step(gated, name)
+                    self.report.capture_seconds += time.time() - t0
+                    t0 = time.time()
+                    qp = self._search_one(name, mtype, policies[name], raw)
+                    self.report.search_seconds[name] = time.time() - t0
+                    qstate[name] = qp
+                    gated[name] = GatedQP(qp=qp, on=jnp.asarray(True))
+                    self._save_ckpt(name, mtype, qp)
+                return qstate
+
             for name, mtype in todo:
                 t0 = time.time()
                 raw = capture(net, self.calib_x, batch_size=self.batch_size,
@@ -555,6 +599,50 @@ class HessianQuantCalibrator:
             return x
         from jax.sharding import NamedSharding, PartitionSpec as P
         return jax.device_put(jnp.asarray(x), NamedSharding(self.mesh, P()))
+
+    def _template_qp(self, name: str, mtype: str, policy, plan):
+        """Aval-exact placeholder QP for the shared sequential capture.
+
+        The shared executable (capture.SequentialCapturePlan) only stays
+        compiled-once if replacing a template with the real searched QP
+        never changes a leaf's shape/dtype — so the template STRUCTURE is
+        derived by ``jax.eval_shape`` over the *actual* search function the
+        op will run, with interval values of 1 (a valid quantizer; the
+        values are never consumed before the op's own step enables it,
+        and lax.cond skips the disabled branch entirely)."""
+        from .capture import OpCapture
+        shapes = plan.tap_shapes[name]
+        n_micro = plan._n_micro
+
+        def full(f):
+            s = tuple(shapes[f].shape)
+            return jax.ShapeDtypeStruct((n_micro * s[0],) + s[1:],
+                                        jnp.float32)
+        grad_spec = full("out") if policy.metric == "hessian" else None
+        if mtype == "qconv":
+            w, b = _params_for_op(self.net.params, name)
+
+            def f(x, out, grad):
+                cap = OpCapture("conv", {"x": x}, out=out, grad=grad)
+                return S.search_conv(w, b, cap, policy, self.search_budget)
+            specs = (full("x"), full("out"), grad_spec)
+        elif "qmatmul" in mtype:
+            def f(a, b_, out, grad):
+                cap = OpCapture("matmul", {"a": a, "b": b_}, out=out,
+                                grad=grad)
+                return S.search_matmul(cap, policy, self.search_budget)
+            specs = (full("a"), full("b"), full("out"), grad_spec)
+        else:
+            w, b = _params_for_op(self.net.params, name)
+
+            def f(x, out, grad):
+                cap = OpCapture("linear", {"x": x}, out=out, grad=grad)
+                return S.search_linear(w, b, cap, policy,
+                                       self.search_budget,
+                                       calib_bs=self.batch_size)
+            specs = (full("x"), full("out"), grad_spec)
+        qp_struct = jax.eval_shape(f, *specs)
+        return jax.tree.map(lambda s: jnp.ones(s.shape, s.dtype), qp_struct)
 
     def _search_one(self, name: str, mtype: str, policy, cap):
         if mtype == "qconv":

@@ -77,6 +77,163 @@ def _kl_batchmean(logits, target):
     return jnp.sum(target * (logt - logp)) / logits.shape[0]
 
 
+class SequentialCapturePlan:
+    """ONE compiled capture executable serving EVERY step of a sequential
+    calibration (reference quant_calib.py:369: op k is captured with ops
+    0..k-1 already in quant_forward mode).
+
+    The naive formulation pays O(num_ops) slow remote compiles on a
+    tunneled TPU: each step taps a different op AND has a different
+    quantized-prefix structure (None vs QP is a structural switch).  This
+    plan removes both sources of retracing:
+
+      * the qstate is structure-stable — every op carries a
+        :class:`~ptq4vit_tpu.quant.qparams.GatedQP` whose traced ``on``
+        boolean flips raw->quant per step (lax.cond in models/common.py),
+        with template QPs (aval-exact via jax.eval_shape over the real
+        search functions) standing in for not-yet-calibrated ops;
+      * the tapped op is a traced ``k`` index — the program computes all
+        taps (it must run the full fwd+bwd anyway) and a ``lax.switch``
+        writes op k's (inputs, out, grad) into flat buffers padded to the
+        largest op, so every step shares one output signature.
+
+    Per step the cost is one enqueue of the already-loaded executable plus
+    the device fwd+bwd over the calibration set — the same device work the
+    reference pays per module, with zero per-step compiles.  The
+    calibration inputs/targets ship to the device ONCE at plan build (the
+    legacy loop re-staged them every step).
+
+    Caches are returned device-resident (jnp) with the sample axis
+    leading, exactly like :func:`capture`'s output for one op.
+    """
+
+    def __init__(self, net, calib_x: np.ndarray, *, batch_size: int,
+                 need_grad: bool, probe_sigma: float,
+                 target_probs: Optional[np.ndarray],
+                 ops: Sequence[str]):
+        params, cfg, fwd = net.params, net.cfg, net.forward
+        num = calib_x.shape[0]
+        if num % batch_size != 0:
+            batch_size = next(b for b in range(min(batch_size, num), 0, -1)
+                              if num % b == 0)
+        self.net = net
+        self.names = list(ops)
+        self.need_grad = need_grad
+        kinds = {}
+        for n, mtype in net.op_inventory:
+            kinds[n] = ("conv" if mtype == "qconv"
+                        else "matmul" if "qmatmul" in mtype else "linear")
+        self.kinds = kinds
+        names = self.names
+
+        xb_spec = jax.ShapeDtypeStruct((batch_size,) + calib_x.shape[1:],
+                                       jnp.float32)
+        shape_cache = _net_cache(net).setdefault("tap_shapes", {})
+        sk = (batch_size,) + calib_x.shape[1:]
+        if sk not in shape_cache:
+            shape_cache[sk] = jax.eval_shape(
+                lambda p, x: fwd(p, x, cfg, qstate=None, capture=True),
+                params, xb_spec)
+        _, tap_shapes = shape_cache[sk]
+        self.tap_shapes = tap_shapes
+        eps_shapes = {n: tap_shapes[n]["out"].shape for n in names}
+
+        def nel(n, field):
+            return int(np.prod(tap_shapes[n][field].shape))
+
+        self.pad_in1 = max(nel(n, "a" if kinds[n] == "matmul" else "x")
+                           for n in names)
+        mm = [n for n in names if kinds[n] == "matmul"]
+        self.pad_in2 = max((nel(n, "b") for n in mm), default=1)
+        self.pad_out = max(nel(n, "out") for n in names)
+        pad_in1, pad_in2, pad_out = self.pad_in1, self.pad_in2, self.pad_out
+
+        def padflat(a, size):
+            a = a.astype(jnp.float32).reshape(-1)
+            return jnp.pad(a, (0, size - a.shape[0]))
+
+        def step_fn(p, qs, k, xb, tb):
+            if need_grad:
+                eps_zeros = {n: jnp.zeros(sh, jnp.float32)
+                             for n, sh in eps_shapes.items()}
+
+                def loss_fn(eps):
+                    logits, taps = fwd(p, xb, cfg, qstate=qs, eps=eps,
+                                       capture=True)
+                    return _kl_batchmean(logits, tb), taps
+                (_, taps), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(eps_zeros)
+            else:
+                _, taps = fwd(p, xb, cfg, qstate=qs, capture=True)
+                grads = None
+
+            def mk_branch(n):
+                def br():
+                    t = taps[n]
+                    in1 = padflat(t["a" if kinds[n] == "matmul" else "x"],
+                                  pad_in1)
+                    in2 = (padflat(t["b"], pad_in2)
+                           if kinds[n] == "matmul"
+                           else jnp.zeros((pad_in2,), jnp.float32))
+                    out = padflat(t["out"], pad_out)
+                    if need_grad:
+                        return in1, in2, out, padflat(grads[n], pad_out)
+                    return in1, in2, out
+                return br
+            return jax.lax.switch(k, [mk_branch(n) for n in names])
+
+        def plan_fn(p, qs, k, x_all, t_all):
+            def body(_, inp):
+                xb, tb = inp
+                return None, step_fn(p, qs, k, xb, tb)
+            _, stacked = jax.lax.scan(body, None, (x_all, t_all))
+            return stacked
+
+        # memoized like capture()'s executables: repeat sequential runs on
+        # the same net (bench repeats, resumed runs) reuse the loaded
+        # executable
+        key = ("seq", tuple(names), batch_size, need_grad,
+               float(probe_sigma), calib_x.shape[1:])
+        jit_cache = _net_cache(net).setdefault("capture_jit", {})
+        self._jit = jit_cache.get(key)
+        if self._jit is None:
+            self._jit = jit_cache[key] = jax.jit(plan_fn)
+
+        self._params = params
+        self._n_micro = num // batch_size
+        self._x_all = jnp.asarray(calib_x).reshape(
+            (self._n_micro, batch_size) + calib_x.shape[1:])
+        if need_grad:
+            self._t_all = jnp.asarray(target_probs, jnp.float32).reshape(
+                self._n_micro, batch_size, -1)
+        else:
+            self._t_all = jnp.zeros((self._n_micro, batch_size, 1),
+                                    jnp.float32)
+
+    def step(self, gated_qstate, name: str) -> OpCapture:
+        """Capture op ``name`` under the prefix encoded in ``gated_qstate``
+        (a {op: GatedQP} dict with the SAME treedef every call)."""
+        k = self.names.index(name)
+        res = self._jit(self._params, gated_qstate, jnp.int32(k),
+                        self._x_all, self._t_all)
+        kind = self.kinds[name]
+        shapes = self.tap_shapes[name]
+
+        def unpad(buf, field):
+            shp = tuple(shapes[field].shape)
+            n = int(np.prod(shp))
+            a = buf[:, :n].reshape((self._n_micro,) + shp)
+            return a.reshape((-1,) + shp[1:])
+
+        if kind == "matmul":
+            inputs = {"a": unpad(res[0], "a"), "b": unpad(res[1], "b")}
+        else:
+            inputs = {"x": unpad(res[0], "x")}
+        return OpCapture(
+            kind=kind, inputs=inputs, out=unpad(res[2], "out"),
+            grad=unpad(res[3], "out") if self.need_grad else None)
+
+
 def capture(net, calib_x: np.ndarray, *, batch_size: int = 8,
             need_grad: bool = True, probe_seed: int = 3,
             probe_sigma: float = 1e-3,

@@ -24,7 +24,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..quant.qparams import apply_linear, apply_matmul
+from ..quant.qparams import GatedQP, apply_linear, apply_matmul
 
 
 class QuantCtx:
@@ -64,6 +64,14 @@ class QuantCtx:
         """Quantizable linear; tap records input and output
         (reference linear_forward_hook, quant_calib.py:178)."""
         qp = self.qstate.get(name)
+        if isinstance(qp, GatedQP):
+            # traced raw/quant switch (sequential capture, qparams.GatedQP):
+            # lax.cond executes ONE branch, so the raw steps cost no
+            # fake-quant work
+            out = jax.lax.cond(qp.on,
+                               lambda: apply_linear(x, w, b, qp.qp),
+                               lambda: apply_linear(x, w, b, None))
+            return self._post(name, out.astype(x.dtype), {"x": x})
         if qp is not None and self.int8:
             from ..ops.int8 import linear_int8
             pk = self.packed.get(name) or {}
@@ -82,7 +90,11 @@ class QuantCtx:
         """Quantizable A@B; tap records both operands
         (reference matmul_forward_hook, quant_calib.py:194)."""
         qp = self.qstate.get(name)
-        if qp is not None and self.int8:
+        if isinstance(qp, GatedQP):
+            out = jax.lax.cond(qp.on,
+                               lambda: apply_matmul(a, b, qp.qp),
+                               lambda: apply_matmul(a, b, None))
+        elif qp is not None and self.int8:
             from ..ops.int8 import matmul_int8
             out = matmul_int8(a, b, qp)
         else:
@@ -189,7 +201,14 @@ class QuantCtx:
         search a pure matmul on the MXU.
         """
         qp = self.qstate.get(name)
-        if qp is not None and not self.int8:
+        if isinstance(qp, GatedQP):
+            gp = qp
+            qp = None  # the int8 dispatch below never applies to GatedQP
+            w, x = jax.lax.cond(
+                gp.on,
+                lambda: (gp.qp.quant_weight(w), gp.qp.quant_input(x)),
+                lambda: (w, x))
+        elif qp is not None and not self.int8:
             w = qp.quant_weight(w)
             x = qp.quant_input(x)
         B, C, H, W = x.shape

@@ -51,6 +51,33 @@ class LinearQP:
         return fq.fake_quant_act_grouped(x, self.a_interval, self.a_qmax)
 
 
+@struct.dataclass
+class GatedQP:
+    """A QP whose application is switched by a TRACED boolean instead of the
+    usual structural None-vs-QP dispatch.
+
+    The structural switch makes every change of "which ops are quantized" a
+    different traced program — exactly right for the production parallel
+    paradigm (XLA specializes each mode), but fatal for sequential
+    calibration (reference quant_calib.py:369), where op k is captured with
+    ops 0..k-1 in quant_forward: a structurally-keyed capture would pay
+    O(num_ops) slow remote compiles.  Wrapping every op's QP in a GatedQP
+    keeps the qstate treedef CONSTANT across all sequential steps — ``on``
+    flips from False to True as each op finishes — so the whole sequential
+    run reuses ONE compiled capture executable (calib/capture.py
+    sequential_capture_plan).
+
+    ``qp`` must keep identical leaf shapes/dtypes across steps (template
+    QPs are built with jax.eval_shape over the real search functions);
+    ``on`` is a () bool array.  Only the capture path (QuantCtx
+    linear/matmul/conv2d_patch with int8=False) understands GatedQP — the
+    int8/fused serving paths never see one.
+    """
+
+    qp: Any
+    on: Any
+
+
 def apply_linear(x, w, b, qp: Optional[LinearQP]):
     """y = x @ w.T + b with optional fake-quant of w and x
     (reference linear.py:62-67)."""

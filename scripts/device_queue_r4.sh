@@ -6,6 +6,7 @@
 # Ordered by value-per-minute (VERDICT r3 items 2, 6, 3, then A/Bs).
 #   scripts/device_queue_r4.sh [logfile]
 set -u
+export BENCH_STRICT_EXIT=1   # probe-failed bench runs exit 3 -> no done-marker
 LOG="${1:-artifacts/device_log_r4.txt}"
 cd "$(dirname "$0")/.."
 mkdir -p artifacts/r4_done
@@ -79,12 +80,28 @@ run fresh_ab_vit_base    1200 env BENCH_MODEL=vit_base_patch16_384 BENCH_PROBE_M
 run fresh_ab_vit_threads 1200 env BENCH_MODEL=vit_base_patch16_384 BENCH_PROBE_MAX=2 PTQ4VIT_TPU_DISPATCH_THREADS=4 python bench.py
 run fresh_ab_sw_threads  1500 env BENCH_MODEL=swin_base_patch4_window12_384 BENCH_PROBE_MAX=2 PTQ4VIT_TPU_DISPATCH_THREADS=4 python bench.py
 
+# 9. sequential mode (reference quant_calib.py:360-378) with the shared
+#    compiled-once capture plan — first-ever device timing of the mode that
+#    was "practically unusable" under per-step remote compiles (VERDICT
+#    weak 6); A/B against the legacy structural captures on the small model
+run seq_vit_base 2700 env BENCH_MODEL=vit_base_patch16_384 BENCH_SEQUENTIAL=1 BENCH_PROBE_MAX=2 python bench.py
+run seq_vit_small 1800 env BENCH_MODEL=vit_small_patch16_224 BENCH_SEQUENTIAL=1 BENCH_PROBE_MAX=2 python bench.py
+run seq_vit_small_legacy 3600 env BENCH_MODEL=vit_small_patch16_224 BENCH_SEQUENTIAL=1 BENCH_REPEATS=1 BENCH_PROBE_MAX=2 PTQ4VIT_TPU_SEQ_SHARED=0 python bench.py
+run seq_swin_base 2700 env BENCH_MODEL=swin_base_patch4_window12_384 BENCH_SEQUENTIAL=1 BENCH_PROBE_MAX=2 python bench.py
+
+# 10. the grid128 swin_base/384 cell ran in a degraded window (8.72 min,
+#     probe 48.8 vs the dedicated run's 4.77 @ 56.4) — append a retry row
+#     to the artifact so the grid file itself carries a healthy number
+run grid128_swin_retry 2400 env BENCH_MODEL=swin_base_patch4_window12_384 BENCH_CALIB=128 BENCH_PROBE_MAX=2 bash -c 'python bench.py >> artifacts/grid128_r4.jsonl 2>> artifacts/grid128_r4.jsonl.err'
+
 # exit 0 only when every step is done, so a relaunch loop knows to continue
 missing=""
 for n in sw128 vit128 serve_vit serve_swin grid32_baseptq grid32_w6a6 \
          grid128 ab_sw128_nosb ab_sw128_nofold ab_sw128_nopallas \
          attr_sw128 mmab_default mmab_nosb mmab_nofold \
-         fresh_ab_vit_base fresh_ab_vit_threads fresh_ab_sw_threads; do
+         fresh_ab_vit_base fresh_ab_vit_threads fresh_ab_sw_threads \
+         seq_vit_base seq_vit_small seq_vit_small_legacy seq_swin_base \
+         grid128_swin_retry; do
   [ -e "artifacts/r4_done/$n.ok" ] || missing="$missing $n"
 done
 echo "QUEUE PASS DONE $(date), missing:${missing:- none}" >> "$LOG"

@@ -148,6 +148,42 @@ def test_sequential_mode(net, calib_x):
     assert set(qstate) == {n for n, _ in net.op_inventory}
 
 
+def test_sequential_shared_plan(net, calib_x, monkeypatch):
+    """The default sequential path must (a) engage the compiled-once
+    SequentialCapturePlan, (b) trace it exactly ONCE for all steps (the
+    GatedQP qstate keeps the treedef constant; the tapped op is a traced
+    switch index), and (c) calibrate the same state as the legacy per-op
+    structural captures (PTQ4VIT_TPU_SEQ_SHARED=0)."""
+    from ptq4vit_tpu.calib import capture as cap_mod
+
+    plans = []
+    orig_init = cap_mod.SequentialCapturePlan.__init__
+
+    def spy(self, *a, **k):
+        orig_init(self, *a, **k)
+        plans.append(self)
+
+    monkeypatch.setattr(cap_mod.SequentialCapturePlan, "__init__", spy)
+    cfg = small_cfg(ptq4vit())   # hessian: covers the fwd+bwd capture
+    q_shared = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4,
+                                      sequential=True) \
+        .batching_quant_calib(verbose=False)
+    assert len(plans) == 1
+    assert plans[0]._jit._cache_size() == 1   # ONE compile, all 14 steps
+
+    monkeypatch.setenv("PTQ4VIT_TPU_SEQ_SHARED", "0")
+    q_legacy = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4,
+                                      sequential=True) \
+        .batching_quant_calib(verbose=False)
+    assert len(plans) == 1                    # legacy path built no plan
+    assert set(q_shared) == set(q_legacy)
+    for n in q_shared:
+        for a, b in zip(jax.tree.leaves(q_shared[n]),
+                        jax.tree.leaves(q_legacy[n])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, err_msg=n)
+
+
 def test_bias_correction_optin(net, calib_x):
     cfg = small_cfg(ptq4vit())
     qstate = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4) \
