@@ -20,6 +20,7 @@ argmax-invariant).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
+
+
+def _ploop_default() -> bool:
+    """Candidate-loop-in-kernel layout (default).
+
+    The original linear-scorer layout put the candidate index in the GRID
+    (P, M, O): every candidate re-DMAs every x/w/raw/grad tile, so at
+    big-M ops (Swin stage-0 at 128 imgs: M = 1.2M rows) the kernel is
+    ~8x DMA-bound (raw+grad tiles alone are ~260 KB/step x P=100 sweeps).
+    The p-loop layout uses grid (M, O) with a fori_loop over candidates
+    INSIDE the kernel — each tile is read once per score call, the
+    per-candidate work is pure MXU/VPU on VMEM-resident values, and the
+    per-candidate accumulation order over (m, o) tiles is unchanged, so
+    results are BITWISE-equal to the grid layout
+    (test_linear_scorer_ploop_bitwise_equal).
+    PTQ4VIT_TPU_SCORER_PLOOP=0 restores the grid layout for device A/Bs.
+    """
+    return os.environ.get("PTQ4VIT_TPU_SCORER_PLOOP", "1") != "0"
 
 
 def _kernel(cand_ref, x_ref, w_ref, raw_ref, g_ref, out_ref, *,
@@ -53,6 +72,40 @@ def _kernel(cand_ref, x_ref, w_ref, raw_ref, g_ref, out_ref, *,
             out_ref[p, vv] = 0.0
 
     out_ref[p, v] += part
+
+
+def _kernel_ploop(cand_ref, x_ref, w_ref, raw_ref, g_ref, out_ref, *,
+                  qmax: int, n_V: int, crb_tiles: int, P: int):
+    """Grid (M, O); all P candidates scored in-kernel on the resident tile
+    (see _ploop_default)."""
+    m = pl.program_id(0)
+    o = pl.program_id(1)
+    v = jnp.minimum(o // crb_tiles, n_V - 1)
+
+    @pl.when((m == 0) & (o == 0))
+    def _():
+        def z(p, _):
+            for vv in range(n_V):
+                out_ref[p, vv] = 0.0
+            return 0
+        jax.lax.fori_loop(0, P, z, 0)
+
+    x = x_ref[:]
+    w = w_ref[:]
+    raw = raw_ref[:]
+    g = g_ref[:]
+
+    def body(p, _):
+        delta = cand_ref[p, v]
+        w_sim = jnp.clip(jnp.round(w / delta), -qmax, qmax - 1) * delta
+        out = jax.lax.dot_general(
+            x, w_sim, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d = g * (raw - out)
+        out_ref[p, v] += -jnp.sum(d * d)
+        return 0
+
+    jax.lax.fori_loop(0, P, body, 0)
 
 
 def pallas_tile_ok(oc: int, n_V: int) -> bool:
@@ -105,11 +158,26 @@ def linear_w_hessian_sims(x_sim, w, cands, raw_minus_bias, grad,
     raw_minus_bias = jnp.pad(raw_minus_bias, ((0, Mp - M), (0, ocp - oc)))
     grad = jnp.pad(grad, ((0, Mp - M), (0, ocp - oc)))
 
-    grid = (P, Mp // TM, ocp // TO)
-    sims = pl.pallas_call(
-        functools.partial(_kernel, qmax=qmax, n_V=n_V, crb_tiles=crb_tiles),
-        grid=grid,
-        in_specs=[
+    if _ploop_default():
+        grid = (Mp // TM, ocp // TO)
+        kern = functools.partial(_kernel_ploop, qmax=qmax, n_V=n_V,
+                                 crb_tiles=crb_tiles, P=P)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TM, icp), lambda m, o: (m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TO, icp), lambda m, o: (o, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TO), lambda m, o: (m, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TO), lambda m, o: (m, o),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        grid = (P, Mp // TM, ocp // TO)
+        kern = functools.partial(_kernel, qmax=qmax, n_V=n_V,
+                                 crb_tiles=crb_tiles)
+        in_specs = [
             # whole candidate vector in SMEM, indexed by program_id(0)
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TM, icp), lambda p, m, o: (m, 0),
@@ -120,7 +188,11 @@ def linear_w_hessian_sims(x_sim, w, cands, raw_minus_bias, grad,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TM, TO), lambda p, m, o: (m, o),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+    sims = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((P, n_V), jnp.float32),
         interpret=interpret,
@@ -170,6 +242,45 @@ def _kernel_i8(cand_ref, scal_ref, x_ref, xn_ref, w_ref, raw_ref, g_ref,
     out_ref[p, v] += part
 
 
+def _kernel_i8_ploop(cand_ref, scal_ref, x_ref, xn_ref, w_ref, raw_ref,
+                     g_ref, out_ref, *, qmax: int, n_V: int, crb_tiles: int,
+                     twin: bool, P: int):
+    """Grid (M, O) int8-scored variant of _kernel_ploop."""
+    m = pl.program_id(0)
+    o = pl.program_id(1)
+    v = jnp.minimum(o // crb_tiles, n_V - 1)
+
+    @pl.when((m == 0) & (o == 0))
+    def _():
+        def z(p, _):
+            for vv in range(n_V):
+                out_ref[p, vv] = 0.0
+            return 0
+        jax.lax.fori_loop(0, P, z, 0)
+
+    a = scal_ref[0, 0]
+    x = x_ref[:]
+    w = w_ref[:]
+    raw = raw_ref[:]
+    g = g_ref[:]
+    if twin:
+        a_neg = scal_ref[0, 1]
+        xn = xn_ref[:]
+
+    def body(p, _):
+        delta = cand_ref[p, v]
+        w_lv = jnp.clip(jnp.round(w / delta), -qmax, qmax - 1) \
+            .astype(jnp.int8)
+        acc = _dot_i8(x, w_lv).astype(jnp.float32) * (a * delta)
+        if twin:
+            acc += _dot_i8(xn, w_lv).astype(jnp.float32) * (a_neg * delta)
+        d = g * (raw - acc)
+        out_ref[p, v] += -jnp.sum(d * d)
+        return 0
+
+    jax.lax.fori_loop(0, P, body, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("qmax", "interpret"))
 def linear_w_hessian_sims_i8(x_lv, x_neg_lv, a, a_neg, w, cands,
                              raw_minus_bias, grad, qmax: int,
@@ -216,12 +327,31 @@ def linear_w_hessian_sims_i8(x_lv, x_neg_lv, a, a_neg, w, cands,
                       jnp.asarray(a_neg if a_neg is not None else 1.0,
                                   jnp.float32).reshape(())]).reshape(1, 2)
 
-    grid = (P, Mp // TM, ocp // TO)
-    sims = pl.pallas_call(
-        functools.partial(_kernel_i8, qmax=qmax, n_V=n_V,
-                          crb_tiles=crb_tiles, twin=twin),
-        grid=grid,
-        in_specs=[
+    if _ploop_default():
+        grid = (Mp // TM, ocp // TO)
+        kern = functools.partial(_kernel_i8_ploop, qmax=qmax, n_V=n_V,
+                                 crb_tiles=crb_tiles, twin=twin, P=P)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TM, icp), lambda m, o: (m, 0),
+                         memory_space=pltpu.VMEM),
+            (pl.BlockSpec((TM, icp), lambda m, o: (m, 0),
+                          memory_space=pltpu.VMEM) if twin
+             else pl.BlockSpec((1, icp), lambda m, o: (0, 0),
+                               memory_space=pltpu.VMEM)),
+            pl.BlockSpec((TO, icp), lambda m, o: (o, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TO), lambda m, o: (m, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TO), lambda m, o: (m, o),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        grid = (P, Mp // TM, ocp // TO)
+        kern = functools.partial(_kernel_i8, qmax=qmax, n_V=n_V,
+                                 crb_tiles=crb_tiles, twin=twin)
+        in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TM, icp), lambda p, m, o: (m, 0),
@@ -236,7 +366,11 @@ def linear_w_hessian_sims_i8(x_lv, x_neg_lv, a, a_neg, w, cands,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TM, TO), lambda p, m, o: (m, o),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+    sims = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((P, n_V), jnp.float32),
         interpret=interpret,
@@ -271,6 +405,47 @@ def _a_kernel_i8(cand_ref, x_ref, w_ref, ws_ref, raw_ref, g_ref, out_ref, *,
         out_ref[p] = 0.0
 
     out_ref[p] += part
+
+
+def _a_kernel_i8_ploop(cand_ref, x_ref, w_ref, ws_ref, raw_ref, g_ref,
+                       out_ref, *, a_qmax: int, postgelu: bool,
+                       a_neg: float, P: int):
+    """Grid (M, O) int8-scored input-interval search (see _ploop_default)."""
+    m = pl.program_id(0)
+    o = pl.program_id(1)
+
+    @pl.when((m == 0) & (o == 0))
+    def _():
+        def z(p, _):
+            out_ref[p] = 0.0
+            return 0
+        jax.lax.fori_loop(0, P, z, 0)
+
+    x = x_ref[:]
+    w_lv = w_ref[:]
+    ws = ws_ref[0, :][None, :]                       # per-row-block scales
+    raw = raw_ref[:]
+    g = g_ref[:]
+    if postgelu:
+        # the fixed negative-twin contribution is candidate-independent
+        neg = jnp.clip(jnp.round(x / a_neg), -a_qmax, 0).astype(jnp.int8)
+        acc_neg = _dot_i8(neg, w_lv).astype(jnp.float32) * a_neg
+
+    def body(p, _):
+        delta = cand_ref[p]
+        if postgelu:
+            pos = jnp.clip(jnp.round(x / delta), 0, a_qmax - 1) \
+                .astype(jnp.int8)
+            acc = _dot_i8(pos, w_lv).astype(jnp.float32) * delta + acc_neg
+        else:
+            xq = jnp.clip(jnp.round(x / delta), -a_qmax, a_qmax - 1) \
+                .astype(jnp.int8)
+            acc = _dot_i8(xq, w_lv).astype(jnp.float32) * delta
+        d = g * (raw - acc * ws)
+        out_ref[p] += -jnp.sum(d * d)
+        return 0
+
+    jax.lax.fori_loop(0, P, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("a_qmax", "postgelu",
@@ -308,12 +483,28 @@ def linear_a_hessian_sims_i8(x, w_lv, w_scale, cands, raw_minus_bias, grad,
     raw_minus_bias = jnp.pad(raw_minus_bias, ((0, Mp - M), (0, ocp - oc)))
     grad = jnp.pad(grad, ((0, Mp - M), (0, ocp - oc)))
 
-    grid = (P, Mp // TM, ocp // TO)
-    sims = pl.pallas_call(
-        functools.partial(_a_kernel_i8, a_qmax=a_qmax, postgelu=postgelu,
-                          a_neg=float(a_neg)),
-        grid=grid,
-        in_specs=[
+    if _ploop_default():
+        grid = (Mp // TM, ocp // TO)
+        kern = functools.partial(_a_kernel_i8_ploop, a_qmax=a_qmax,
+                                 postgelu=postgelu, a_neg=float(a_neg), P=P)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TM, icp), lambda m, o: (m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TO, icp), lambda m, o: (o, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TO), lambda m, o: (0, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TO), lambda m, o: (m, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TO), lambda m, o: (m, o),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        grid = (P, Mp // TM, ocp // TO)
+        kern = functools.partial(_a_kernel_i8, a_qmax=a_qmax,
+                                 postgelu=postgelu, a_neg=float(a_neg))
+        in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TM, icp), lambda p, m, o: (m, 0),
                          memory_space=pltpu.VMEM),
@@ -325,7 +516,11 @@ def linear_a_hessian_sims_i8(x, w_lv, w_scale, cands, raw_minus_bias, grad,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TM, TO), lambda p, m, o: (m, o),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+    sims = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((P,), jnp.float32),
         interpret=interpret,
@@ -731,6 +926,43 @@ def _a_kernel(cand_ref, x_ref, w_ref, raw_ref, g_ref, out_ref, *,
     out_ref[p] += part
 
 
+def _a_kernel_ploop(cand_ref, x_ref, w_ref, raw_ref, g_ref, out_ref, *,
+                    a_qmax: int, postgelu: bool, a_neg: float, P: int):
+    """Grid (M, O) fp32 input-interval search (see _ploop_default)."""
+    m = pl.program_id(0)
+    o = pl.program_id(1)
+
+    @pl.when((m == 0) & (o == 0))
+    def _():
+        def z(p, _):
+            out_ref[p] = 0.0
+            return 0
+        jax.lax.fori_loop(0, P, z, 0)
+
+    x = x_ref[:]
+    w = w_ref[:]
+    raw = raw_ref[:]
+    g = g_ref[:]
+    if postgelu:
+        xq_neg = jnp.clip(jnp.round(x / a_neg), -a_qmax, 0) * a_neg
+
+    def body(p, _):
+        delta = cand_ref[p]
+        if postgelu:
+            xq = jnp.clip(jnp.round(x / delta), 0, a_qmax - 1) * delta \
+                + xq_neg
+        else:
+            xq = jnp.clip(jnp.round(x / delta), -a_qmax, a_qmax - 1) * delta
+        out = jax.lax.dot_general(
+            xq, w, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d = g * (raw - out)
+        out_ref[p] += -jnp.sum(d * d)
+        return 0
+
+    jax.lax.fori_loop(0, P, body, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("a_qmax", "postgelu",
                                              "a_neg", "interpret"))
 def linear_a_hessian_sims(x, w_sim, cands, raw_minus_bias, grad,
@@ -763,12 +995,26 @@ def linear_a_hessian_sims(x, w_sim, cands, raw_minus_bias, grad,
     raw_minus_bias = jnp.pad(raw_minus_bias, ((0, Mp - M), (0, ocp - oc)))
     grad = jnp.pad(grad, ((0, Mp - M), (0, ocp - oc)))
 
-    grid = (P, Mp // TM, ocp // TO)
-    sims = pl.pallas_call(
-        functools.partial(_a_kernel, a_qmax=a_qmax, postgelu=postgelu,
-                          a_neg=float(a_neg)),
-        grid=grid,
-        in_specs=[
+    if _ploop_default():
+        grid = (Mp // TM, ocp // TO)
+        kern = functools.partial(_a_kernel_ploop, a_qmax=a_qmax,
+                                 postgelu=postgelu, a_neg=float(a_neg), P=P)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TM, icp), lambda m, o: (m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TO, icp), lambda m, o: (o, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TO), lambda m, o: (m, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TO), lambda m, o: (m, o),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        grid = (P, Mp // TM, ocp // TO)
+        kern = functools.partial(_a_kernel, a_qmax=a_qmax, postgelu=postgelu,
+                                 a_neg=float(a_neg))
+        in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TM, icp), lambda p, m, o: (m, 0),
                          memory_space=pltpu.VMEM),
@@ -778,7 +1024,11 @@ def linear_a_hessian_sims(x, w_sim, cands, raw_minus_bias, grad,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TM, TO), lambda p, m, o: (m, o),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+    sims = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((P,), jnp.float32),
         interpret=interpret,

@@ -80,6 +80,24 @@ run fresh_ab_vit_base    1200 env BENCH_MODEL=vit_base_patch16_384 BENCH_PROBE_M
 run fresh_ab_vit_threads 1200 env BENCH_MODEL=vit_base_patch16_384 BENCH_PROBE_MAX=2 PTQ4VIT_TPU_DISPATCH_THREADS=4 python bench.py
 run fresh_ab_sw_threads  1500 env BENCH_MODEL=swin_base_patch4_window12_384 BENCH_PROBE_MAX=2 PTQ4VIT_TPU_DISPATCH_THREADS=4 python bench.py
 
+# 8b. linear-scorer p-loop layout (grid (M,O) + in-kernel candidate loop,
+#     bitwise-equal, ~P x less DMA — ops/pallas_search._ploop_default):
+#     micro A/B at the dominant shapes, then headline re-measures
+run linab_ploop  1500 python scripts/linear_scorer_bench.py
+run linab_legacy 2700 env PTQ4VIT_TPU_SCORER_PLOOP=0 python scripts/linear_scorer_bench.py
+run sw128_r4b  2700 env BENCH_MODEL=swin_base_patch4_window12_384 BENCH_CALIB=128 BENCH_PROBE_MAX=2 python bench.py
+run vit128_r4b 1800 env BENCH_MODEL=vit_base_patch16_384 BENCH_CALIB=128 BENCH_PROBE_MAX=2 python bench.py
+run sw32_r4b   1200 env BENCH_MODEL=swin_base_patch4_window12_384 BENCH_PROBE_MAX=2 python bench.py
+run vit32_r4b  1200 env BENCH_MODEL=vit_base_patch16_384 BENCH_PROBE_MAX=2 python bench.py
+
+# 8c. matmul-scorer epilogue A/Bs at the extended shape matrix (rowsum
+#     saves F-1 full-tile masked-reduction passes; fold was neutral-to-
+#     negative at window-12 in the r4 micro — retune the auto heuristic
+#     from this data)
+run mmab2_default 900 python scripts/mm_scorer_bench.py
+run mmab2_rowsum  900 env PTQ4VIT_TPU_MM_ROWSUM=1 python scripts/mm_scorer_bench.py
+run mmab2_nofold  900 env PTQ4VIT_TPU_MM_FOLD=1 python scripts/mm_scorer_bench.py
+
 # 9. sequential mode (reference quant_calib.py:360-378) with the shared
 #    compiled-once capture plan — first-ever device timing of the mode that
 #    was "practically unusable" under per-step remote compiles (VERDICT
@@ -100,6 +118,8 @@ for n in sw128 vit128 serve_vit serve_swin grid32_baseptq grid32_w6a6 \
          grid128 ab_sw128_nosb ab_sw128_nofold ab_sw128_nopallas \
          attr_sw128 mmab_default mmab_nosb mmab_nofold \
          fresh_ab_vit_base fresh_ab_vit_threads fresh_ab_sw_threads \
+         linab_ploop linab_legacy sw128_r4b vit128_r4b sw32_r4b vit32_r4b \
+         mmab2_default mmab2_rowsum mmab2_nofold \
          seq_vit_base seq_vit_small seq_vit_small_legacy seq_swin_base \
          grid128_swin_retry; do
   [ -e "artifacts/r4_done/$n.ok" ] || missing="$missing $n"

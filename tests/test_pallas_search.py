@@ -309,3 +309,75 @@ def test_matmul_scorer_rowsum_variant_close(rng, monkeypatch):
     ref = run()
     monkeypatch.setenv("PTQ4VIT_TPU_MM_ROWSUM", "1")
     np.testing.assert_allclose(ref, run(), rtol=1e-6)
+
+
+def test_linear_scorer_ploop_bitwise_equal(rng, monkeypatch):
+    """The candidate-loop-in-kernel layout (grid (M, O), default) must be
+    BITWISE equal to the legacy grid-(P, M, O) layout for all four linear
+    scorers: per-candidate op order is identical and the per-candidate
+    accumulation sweeps (m, o) tiles in the same order — only the DMA
+    schedule changes (each tile read once per call instead of P times)."""
+    from ptq4vit_tpu.ops import pallas_search as ps
+    M, ic, oc, P, qmax, n_V = 70, 48, 36, 7, 128, 1
+    x = rng.standard_normal((M, ic)).astype(np.float32)
+    w = rng.standard_normal((oc, ic)).astype(np.float32)
+    raw = (x @ w.T).astype(np.float32)
+    grad = rng.standard_normal((M, oc)).astype(np.float32)
+    w_cands = (np.abs(w).max() / 127.5
+               * np.linspace(0.2, 1.2, P)).astype(np.float32)
+    a_sc = np.float32(np.abs(x).max() / 127.5)
+    a_cands = (a_sc * np.linspace(0.2, 1.2, P)).astype(np.float32)
+    x_lv = np.clip(np.round(x / a_sc), -128, 127).astype(np.int8)
+    x_neg = np.clip(np.round(x / 0.01), -128, 0).astype(np.int8)
+    w_lv = np.clip(np.round(w / w_cands[3]), -128, 127).astype(np.int8)
+    w_sc = np.full((oc,), w_cands[3], np.float32)
+    w_sim = (np.clip(np.round(w / w_cands[3]), -qmax, qmax - 1)
+             * w_cands[3]).astype(np.float32)
+    # oc=36 with n_V=3 -> crb 12: exercises the multi-row-block SMEM path
+    w_cands_nv = (w_cands[:, None]
+                  * np.array([[1.0, 0.9, 1.1]], np.float32))
+
+    calls = {
+        "w_f32": lambda: ps.linear_w_hessian_sims(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(w_cands),
+            jnp.asarray(raw), jnp.asarray(grad), qmax, interpret=True),
+        "w_f32_nv": lambda: ps.linear_w_hessian_sims(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(w_cands_nv),
+            jnp.asarray(raw), jnp.asarray(grad), qmax, interpret=True),
+        "w_i8": lambda: ps.linear_w_hessian_sims_i8(
+            jnp.asarray(x_lv), None, jnp.asarray(a_sc), None,
+            jnp.asarray(w), jnp.asarray(w_cands), jnp.asarray(raw),
+            jnp.asarray(grad), qmax, interpret=True),
+        "w_i8_twin": lambda: ps.linear_w_hessian_sims_i8(
+            jnp.asarray(x_lv), jnp.asarray(x_neg), jnp.asarray(a_sc),
+            jnp.asarray(np.float32(0.01)), jnp.asarray(w),
+            jnp.asarray(w_cands), jnp.asarray(raw), jnp.asarray(grad),
+            qmax, interpret=True),
+        "a_f32": lambda: ps.linear_a_hessian_sims(
+            jnp.asarray(x), jnp.asarray(w_sim), jnp.asarray(a_cands),
+            jnp.asarray(raw), jnp.asarray(grad), 128, interpret=True),
+        "a_f32_pg": lambda: ps.linear_a_hessian_sims(
+            jnp.asarray(np.abs(x)), jnp.asarray(w_sim),
+            jnp.asarray(a_cands), jnp.asarray(raw), jnp.asarray(grad),
+            128, postgelu=True, a_neg=0.01, interpret=True),
+        "a_i8": lambda: ps.linear_a_hessian_sims_i8(
+            jnp.asarray(x), jnp.asarray(w_lv), jnp.asarray(w_sc),
+            jnp.asarray(a_cands), jnp.asarray(raw), jnp.asarray(grad),
+            128, interpret=True),
+        "a_i8_pg": lambda: ps.linear_a_hessian_sims_i8(
+            jnp.asarray(np.abs(x)), jnp.asarray(w_lv), jnp.asarray(w_sc),
+            jnp.asarray(a_cands), jnp.asarray(raw), jnp.asarray(grad),
+            128, postgelu=True, a_neg=0.01, interpret=True),
+    }
+    fns = (ps.linear_w_hessian_sims, ps.linear_w_hessian_sims_i8,
+           ps.linear_a_hessian_sims, ps.linear_a_hessian_sims_i8)
+    for name, call in calls.items():
+        for f in fns:
+            f._clear_cache()
+        got = np.asarray(call())                     # ploop default
+        monkeypatch.setenv("PTQ4VIT_TPU_SCORER_PLOOP", "0")
+        for f in fns:
+            f._clear_cache()
+        ref = np.asarray(call())                     # legacy grid layout
+        monkeypatch.delenv("PTQ4VIT_TPU_SCORER_PLOOP")
+        np.testing.assert_array_equal(got, ref, err_msg=name)
