@@ -526,9 +526,15 @@ class HessianQuantCalibrator:
             # overlap; results land in group order, so the attribution
             # block loop below is unchanged (its per-op times become
             # approximate when enqueue order interleaves across threads).
+            # Default 4 on accelerator backends (device A/B r4: ViT-B/384
+            # fresh 1.13 -> 0.97 min, warm unchanged — the per-op
+            # executable loads through the tunnel are what a cold process
+            # serializes on); 1 on CPU, where there is no load latency to
+            # hide and deterministic per-op attribution matters for tests.
             remaining = [n for n in group if n not in qstate]
             n_threads = max(1, int(os.environ.get(
-                "PTQ4VIT_TPU_DISPATCH_THREADS", "1")))
+                "PTQ4VIT_TPU_DISPATCH_THREADS",
+                "1" if jax.default_backend() == "cpu" else "4")))
 
             def one(name):
                 t0 = time.time()

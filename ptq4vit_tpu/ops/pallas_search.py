@@ -744,8 +744,15 @@ def _mm_kernel_folded(cand_ref, scal_ref, sos_ref, a_ref, b_ref, g_ref,
             if rowsum:
                 # one row-reduction then F tiny masked sums (saves F-1
                 # full-tile passes; fp32 sum ORDER differs from the
-                # bitwise-exact default — last-ulp class, device A/B via
-                # PTQ4VIT_TPU_MM_ROWSUM=1)
+                # bitwise-exact PTQ4VIT_TPU_MM_ROWSUM=0 mode — last-ulp
+                # class, 0 differing qstate slots / 2840 across 20 full
+                # tiny-net calibrations on realistic activations,
+                # docs/rowsum_divergence_real.json).  Default ON for
+                # folded kernels since the r4 device A/B: 9.9 -> 6.8
+                # us/step at the Swin-B/384 window-144 matmul shapes,
+                # projected full-search scorer 37.1 -> 26.4 s (the F-1
+                # extra masked full-tile reductions were eating most of
+                # the fold's MAC savings).
                 rs = jnp.sum(dw, axis=0, keepdims=True)
                 for f in range(F):
                     parts[f] += -jnp.sum(jnp.where(blk_co == f, rs, 0.0))
@@ -872,7 +879,7 @@ def matmul_hessian_sims(A, B, grad, cands, fixed_int, mode: str,
                               cand_qmax=cand_qmax, fixed_qmax=fixed_qmax,
                               SB=SB, F=F, Ci=Ci, Co=Co,
                               rowsum=os.environ.get(
-                                  "PTQ4VIT_TPU_MM_ROWSUM") == "1")
+                                  "PTQ4VIT_TPU_MM_ROWSUM", "1") != "0")
             if F > 1 else
             functools.partial(_mm_kernel, P=P, mode=mode,
                               cand_qmax=cand_qmax, fixed_qmax=fixed_qmax,

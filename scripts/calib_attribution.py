@@ -12,6 +12,9 @@ from collections import defaultdict
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.xla_cache")
+# per-op attribution wants serial enqueue order (threads interleave it and
+# the per-op times become approximate) — pin the default back to 1 here
+os.environ.setdefault("PTQ4VIT_TPU_DISPATCH_THREADS", "1")
 
 MODEL = sys.argv[1] if len(sys.argv) > 1 else "swin_base_patch4_window12_384"
 CALIB = int(sys.argv[2]) if len(sys.argv) > 2 else 128

@@ -240,8 +240,12 @@ def test_matmul_search_pallas_path_matches_xla(rng):
 def test_matmul_scorer_head_folding_bitwise_equal(rng, monkeypatch):
     """Head folding (F heads -> one dense-K dot with a block-diagonal fixed
     operand) is EXACT: sims are bitwise equal to the unfolded kernel at
-    Swin window shapes, for every mode."""
+    Swin window shapes, for every mode.  ROWSUM=0 pins the exact-summation
+    epilogue — the (faster, default) rowsum epilogue reduces rows first,
+    which changes fp32 sum order vs the unfolded kernel (covered by
+    test_matmul_scorer_rowsum_variant_close)."""
     from ptq4vit_tpu.ops import pallas_search as ps
+    monkeypatch.setenv("PTQ4VIT_TPU_MM_ROWSUM", "0")
     S, G, R, Ci, Co, P = 4, 8, 49, 32, 49, 5
     A = rng.standard_normal((S, G, R, Ci)).astype(np.float32)
     Asm = np.exp(A) / np.exp(A).sum(-1, keepdims=True)
@@ -287,8 +291,10 @@ def test_mm_fold_factor_model_shapes():
 
 
 def test_matmul_scorer_rowsum_variant_close(rng, monkeypatch):
-    """PTQ4VIT_TPU_MM_ROWSUM=1 (row-reduce before the per-head masked sums)
-    changes only fp32 summation order — sims match to 1e-6."""
+    """The rowsum epilogue (row-reduce before the per-head masked sums,
+    DEFAULT since the r4 device A/B showed it 1.3-1.5x the exact-order
+    epilogue at Swin window shapes) changes only fp32 summation order —
+    sims match the PTQ4VIT_TPU_MM_ROWSUM=0 exact mode to 1e-6."""
     from ptq4vit_tpu.ops import pallas_search as ps
     S, G, R, Ci, Co, P = 3, 8, 49, 32, 49, 5
     A = rng.standard_normal((S, G, R, Ci)).astype(np.float32)
@@ -306,6 +312,7 @@ def test_matmul_scorer_rowsum_variant_close(rng, monkeypatch):
             jnp.asarray(cands), jnp.asarray(bint), "a", 128, 128,
             interpret=True))
 
+    monkeypatch.setenv("PTQ4VIT_TPU_MM_ROWSUM", "0")
     ref = run()
     monkeypatch.setenv("PTQ4VIT_TPU_MM_ROWSUM", "1")
     np.testing.assert_allclose(ref, run(), rtol=1e-6)
