@@ -77,6 +77,20 @@ def _kl_batchmean(logits, target):
     return jnp.sum(target * (logt - logp)) / logits.shape[0]
 
 
+def _plan_budget_bytes(default: int = 10 << 30) -> int:
+    """HBM ceiling for the shared sequential-capture executable's liveness
+    estimate.  memory_stats() is None on the axon tunnel (CLAUDE.md), so
+    the default assumes a 16 GiB v5e minus params/executables headroom."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        limit = int(stats.get("bytes_limit", 0))
+        if limit > 0:
+            return max(1 << 30, int(limit * 0.70))
+    except Exception:
+        pass
+    return default
+
+
 class SequentialCapturePlan:
     """ONE compiled capture executable serving EVERY step of a sequential
     calibration (reference quant_calib.py:369: op k is captured with ops
@@ -94,8 +108,14 @@ class SequentialCapturePlan:
         search functions) standing in for not-yet-calibrated ops;
       * the tapped op is a traced ``k`` index — the program computes all
         taps (it must run the full fwd+bwd anyway) and a ``lax.switch``
-        writes op k's (inputs, out, grad) into flat buffers padded to the
-        largest op, so every step shares one output signature.
+        writes op k's (inputs, out) into flat buffers padded to the
+        largest op, so every step shares one output signature.  The eps
+        probe is ONE padded buffer masked to op k (not a per-op dict), so
+        the backward materializes a single padded cotangent rather than
+        every op's gradient; together with an HBM-aware micro-batch
+        shrink this keeps the plan inside a 16 GiB chip at Swin-B/384
+        shapes (a MemoryError at micro-batch 1 falls back to the legacy
+        per-op captures in the calibrator).
 
     Per step the cost is one enqueue of the already-loaded executable plus
     the device fwd+bwd over the calibration set — the same device work the
@@ -126,27 +146,72 @@ class SequentialCapturePlan:
         self.kinds = kinds
         names = self.names
 
-        xb_spec = jax.ShapeDtypeStruct((batch_size,) + calib_x.shape[1:],
-                                       jnp.float32)
         shape_cache = _net_cache(net).setdefault("tap_shapes", {})
-        sk = (batch_size,) + calib_x.shape[1:]
-        if sk not in shape_cache:
-            shape_cache[sk] = jax.eval_shape(
-                lambda p, x: fwd(p, x, cfg, qstate=None, capture=True),
-                params, xb_spec)
-        _, tap_shapes = shape_cache[sk]
+
+        def shapes_for(b):
+            sk = (b,) + calib_x.shape[1:]
+            if sk not in shape_cache:
+                spec = jax.ShapeDtypeStruct(sk, jnp.float32)
+                shape_cache[sk] = jax.eval_shape(
+                    lambda p, x: fwd(p, x, cfg, qstate=None, capture=True),
+                    params, spec)
+            return shape_cache[sk][1]
+
+        def nel(ts, n, field):
+            return int(np.prod(ts[n][field].shape))
+
+        def pads_of(ts):
+            p1 = max(nel(ts, n, "a" if kinds[n] == "matmul" else "x")
+                     for n in names)
+            mm = [n for n in names if kinds[n] == "matmul"]
+            p2 = max((nel(ts, n, "b") for n in mm), default=1)
+            po = max(nel(ts, n, "out") for n in names)
+            return p1, p2, po
+
+        tap_shapes = shapes_for(batch_size)
+        pad_in1, pad_in2, pad_out = pads_of(tap_shapes)
+
+        # HBM-aware micro-batch: the shared executable's peak liveness is
+        # every op's taps at the traced switch (the tap index is dynamic,
+        # so no branch can be dead-code-eliminated) plus the scan-stacked
+        # padded buffers (batch-independent: n_micro x per-micro pads =
+        # num x per-image pads).  All tap arrays carry the micro-batch as
+        # their leading axis, so per-image sizes are exact linear scalings.
+        # Shrink the micro-batch until the estimate fits — Swin-B/384 at
+        # the calibrator default batch 4 otherwise RESOURCE_EXHAUSTs a
+        # 16 GB v5e (measured, device_log_r4.txt seq_swin_base).
+        live = sum(nel(tap_shapes, n, "a" if kinds[n] == "matmul" else "x")
+                   + (nel(tap_shapes, n, "b") if kinds[n] == "matmul" else 0)
+                   + nel(tap_shapes, n, "out") for n in names)
+        per_img_live = live / batch_size
+        per_img_stack = (pad_in1 + pad_in2
+                         + pad_out * (2 if need_grad else 1)) / batch_size
+        budget = _plan_budget_bytes()
+        slack = 2.0 if need_grad else 1.3   # bwd residuals / XLA workspace
+        fixed = 4.0 * per_img_stack * num
+
+        def fits(b):
+            return 4.0 * slack * per_img_live * b + fixed <= budget
+
+        if not fits(batch_size):
+            b_ok = next((b for b in range(batch_size - 1, 0, -1)
+                         if num % b == 0 and fits(b)), None)
+            if b_ok is None:
+                raise MemoryError(
+                    "sequential capture plan exceeds the HBM budget "
+                    f"({budget / 2**30:.1f} GiB) even at micro-batch 1 "
+                    f"(per-image live ~{per_img_live * 4 / 2**30:.2f} GiB)")
+            batch_size = b_ok
+            tap_shapes = shapes_for(batch_size)
+            pad_in1, pad_in2, pad_out = pads_of(tap_shapes)
+
         self.tap_shapes = tap_shapes
+        self.pad_in1, self.pad_in2, self.pad_out = pad_in1, pad_in2, pad_out
+        self.batch_size = batch_size
+        # introspection for tests / sizing studies
+        self._est_bytes = lambda b: 4.0 * slack * per_img_live * b + fixed
         eps_shapes = {n: tap_shapes[n]["out"].shape for n in names}
-
-        def nel(n, field):
-            return int(np.prod(tap_shapes[n][field].shape))
-
-        self.pad_in1 = max(nel(n, "a" if kinds[n] == "matmul" else "x")
-                           for n in names)
-        mm = [n for n in names if kinds[n] == "matmul"]
-        self.pad_in2 = max((nel(n, "b") for n in mm), default=1)
-        self.pad_out = max(nel(n, "out") for n in names)
-        pad_in1, pad_in2, pad_out = self.pad_in1, self.pad_in2, self.pad_out
+        idx = {n: i for i, n in enumerate(names)}
 
         def padflat(a, size):
             a = a.astype(jnp.float32).reshape(-1)
@@ -154,18 +219,30 @@ class SequentialCapturePlan:
 
         def step_fn(p, qs, k, xb, tb):
             if need_grad:
-                eps_zeros = {n: jnp.zeros(sh, jnp.float32)
-                             for n, sh in eps_shapes.items()}
-
-                def loss_fn(eps):
+                # ONE padded eps buffer, masked to op k: the VJP then
+                # carries a single (pad_out,) cotangent instead of
+                # materializing EVERY op's gradient at the switch (the
+                # all-ops grads dict plus its eps_zeros inputs kept
+                # ~2 x sum(out elements) floats live per micro-batch —
+                # several GiB at Swin-B/384 shapes).  Selected-op
+                # gradient is bit-identical: d(eps_flat) = sum_n mask_n *
+                # pad(dKL/d out_n), and every mask but op k's is an
+                # exact 0.0.
+                def loss_fn(eps_flat):
+                    eps = {}
+                    for n, sh in eps_shapes.items():
+                        m = (k == idx[n]).astype(jnp.float32)
+                        nelm = int(np.prod(sh))
+                        eps[n] = (eps_flat[:nelm] * m).reshape(sh)
                     logits, taps = fwd(p, xb, cfg, qstate=qs, eps=eps,
                                        capture=True)
                     return _kl_batchmean(logits, tb), taps
-                (_, taps), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(eps_zeros)
+                (_, taps), gflat = jax.value_and_grad(
+                    loss_fn, has_aux=True)(
+                        jnp.zeros((pad_out,), jnp.float32))
             else:
                 _, taps = fwd(p, xb, cfg, qstate=qs, capture=True)
-                grads = None
+                gflat = None
 
             def mk_branch(n):
                 def br():
@@ -176,11 +253,10 @@ class SequentialCapturePlan:
                            if kinds[n] == "matmul"
                            else jnp.zeros((pad_in2,), jnp.float32))
                     out = padflat(t["out"], pad_out)
-                    if need_grad:
-                        return in1, in2, out, padflat(grads[n], pad_out)
                     return in1, in2, out
                 return br
-            return jax.lax.switch(k, [mk_branch(n) for n in names])
+            sel = jax.lax.switch(k, [mk_branch(n) for n in names])
+            return sel + (gflat,) if need_grad else sel
 
         def plan_fn(p, qs, k, x_all, t_all):
             def body(_, inp):

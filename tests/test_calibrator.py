@@ -184,6 +184,59 @@ def test_sequential_shared_plan(net, calib_x, monkeypatch):
                                        rtol=1e-6, err_msg=n)
 
 
+def test_sequential_plan_hbm_shrink(net, calib_x, monkeypatch):
+    """When the liveness estimate exceeds the HBM budget, the shared plan
+    shrinks its micro-batch to a divisor of the calib size instead of
+    OOMing (measured failure mode: Swin-B/384 at batch 4
+    RESOURCE_EXHAUSTed a 16 GiB v5e, device_log_r4.txt seq_swin_base).
+    Micro-batching only rescales the KL-batchmean gradients uniformly
+    (1/B), so the calibrated state is argmax-identical.  Below the
+    micro-batch-1 floor the plan raises and the calibrator falls back to
+    the legacy per-op captures — still completing with the same state."""
+    from ptq4vit_tpu.calib import capture as cap_mod
+
+    plans = []
+    orig_init = cap_mod.SequentialCapturePlan.__init__
+
+    def spy(self, *a, **k):
+        orig_init(self, *a, **k)
+        plans.append(self)
+
+    monkeypatch.setattr(cap_mod.SequentialCapturePlan, "__init__", spy)
+    cfg = small_cfg(ptq4vit())
+    base = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4,
+                                  sequential=True) \
+        .batching_quant_calib(verbose=False)
+    assert plans[0].batch_size == 4   # default budget: no shrink
+
+    def check(qstate):
+        assert set(qstate) == set(base)
+        for n in base:
+            for a, b in zip(jax.tree.leaves(base[n]),
+                            jax.tree.leaves(qstate[n])):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-6, err_msg=n)
+
+    # budget that admits micro-batch 2 but not 4 -> plan shrinks
+    monkeypatch.setattr(cap_mod, "_plan_budget_bytes",
+                        lambda default=0: int(plans[0]._est_bytes(2)) + 1)
+    q_shrunk = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4,
+                                      sequential=True) \
+        .batching_quant_calib(verbose=False)
+    assert plans[1].batch_size == 2
+    check(q_shrunk)
+
+    # budget below the micro-batch-1 floor -> MemoryError -> legacy path
+    monkeypatch.setattr(cap_mod, "_plan_budget_bytes",
+                        lambda default=0: int(plans[0]._est_bytes(1)) - 1)
+    n_plans = len(plans)
+    q_legacy = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4,
+                                      sequential=True) \
+        .batching_quant_calib(verbose=False)
+    assert len(plans) == n_plans      # plan build failed, none recorded
+    check(q_legacy)
+
+
 def test_bias_correction_optin(net, calib_x):
     cfg = small_cfg(ptq4vit())
     qstate = HessianQuantCalibrator(net, cfg, calib_x, batch_size=4) \
