@@ -49,11 +49,17 @@ run() {
 #    to micro-batch 2; fresh run pays the one shared-plan compile)
 run seq_swin_base_r4d 3600 env BENCH_MODEL=swin_base_patch4_window12_384 BENCH_SEQUENTIAL=1 BENCH_PROBE_MAX=2 python bench.py
 
-# 2. full 13-model 128-img grid with post-lever scorers (fresh artifact)
+# 2. rowsum epilogue full-calibration A/B at Swin@128 (micro A/B said
+#    1.3-1.5x; the one post-lever full run landed in a noisy window —
+#    adjacent-window control: ROWSUM=0 right next to the r4c/r4d
+#    default-on cells)
+run sw128_ab_rowsum0 2700 env BENCH_MODEL=swin_base_patch4_window12_384 BENCH_CALIB=128 BENCH_REPEATS=1 BENCH_PROBE_MAX=2 PTQ4VIT_TPU_MM_ROWSUM=0 python bench.py
+
+# 3. full 13-model 128-img grid with post-lever scorers (fresh artifact)
 run grid128_r4d 18000 env BENCH_PROBE_MAX=2 bash scripts/run_grid.sh artifacts/grid128_r4d.jsonl 128
 
 missing=""
-for n in seq_swin_base_r4d grid128_r4d; do
+for n in seq_swin_base_r4d sw128_ab_rowsum0 grid128_r4d; do
   [ -e "artifacts/r4d_done/$n.ok" ] || missing="$missing $n"
 done
 if [ -n "$missing" ]; then
