@@ -13,6 +13,7 @@ Prints ONE JSON line:
 """
 import json
 import os
+import threading
 import time
 
 MODEL = os.environ.get("BENCH_MODEL", "vit_base_patch16_384")
@@ -58,29 +59,42 @@ _b = _BASELINES.get(MODEL, {}).get(CALIB)
 BASELINE_MIN = float(_b) if _b is not None else None
 
 
-def _await_healthy_device(max_probes: int = 10, probe_timeout: int = 120,
-                          sleep_s: int = 180) -> bool:
+def _await_healthy_device(max_wait_s: float, probe_timeout: int = 120,
+                          sleep_s: int = 60) -> bool:
     """Probe the backend with a trivial matmul in a SUBPROCESS (a hung PJRT
     client cannot be recovered in-process) before committing to the run.
 
     The axon tunnel has full-outage windows where even jax.devices() hangs;
     without this, a driver-invoked bench would hang forever instead of either
-    waiting out the outage or failing honestly.  ~30 min of patience total.
+    waiting out the outage or failing honestly.  Total patience is HARD
+    bounded by `max_wait_s` (BENCH_MAX_WAIT_S, default 600 s): round 4's
+    bench was still inside its ~30 min probe loop when the driver's own
+    timeout killed it, so the round's scoreboard entry was an unparseable
+    rc=124.  Better to give up early and print the last_measured fallback.
     """
     import subprocess
     import sys
-    probe = ("import jax, jax.numpy as jnp; "
-             "x = jnp.ones((256, 256), jnp.bfloat16); "
-             "print(float((x @ x).sum()))")
-    for i in range(max_probes):
+    probe = os.environ.get(
+        "BENCH_PROBE_PY",
+        "import jax, jax.numpy as jnp; "
+        "x = jnp.ones((256, 256), jnp.bfloat16); "
+        "print(float((x @ x).sum()))")
+    probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", probe_timeout))
+    sleep_s = int(os.environ.get("BENCH_PROBE_SLEEP", sleep_s))
+    deadline = time.time() + max_wait_s
+    while True:
+        budget = deadline - time.time()
+        if budget <= 0:
+            return False
         try:
-            subprocess.run([sys.executable, "-c", probe], timeout=probe_timeout,
+            subprocess.run([sys.executable, "-c", probe],
+                           timeout=max(1, min(probe_timeout, budget)),
                            check=True, capture_output=True)
             return True
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-            if i < max_probes - 1:
-                time.sleep(sleep_s)
-    return False
+            if time.time() + sleep_s >= deadline:
+                return False
+            time.sleep(sleep_s)
 
 
 # Amortized bf16 rate (CLAUDE.md) — physical ceiling for the probe; any
@@ -91,6 +105,45 @@ def _await_healthy_device(max_probes: int = 10, probe_timeout: int = 120,
 # (e.g. 6.6 during a near-outage).  Cross-ref a run's stamp against that
 # band, not against 112.
 HEALTHY_BF16_TFLOPS = 112.0
+# empirical floor of the healthy probe band: rows stamped below this ran in
+# a degraded tunnel window and carry "window_degraded": true so harvesting
+# can't mistake them for real regressions (or real speedups — the r4 W6A6
+# grid had a 6.6-TFLOP/s row whose minutes were ~6x off its class)
+DEGRADED_BF16_TFLOPS = 40.0
+
+_final_lock = threading.Lock()
+_final_emitted = False
+
+
+def _emit_final(obj) -> bool:
+    """Print the run's FINAL stdout JSON line exactly once (the watchdog and
+    the main thread race for it during an outage)."""
+    global _final_emitted
+    with _final_lock:
+        if _final_emitted:
+            return False
+        _final_emitted = True
+        print(json.dumps(obj), flush=True)
+        return True
+
+
+def _start_watchdog(metric: str, hard_timeout_s: float):
+    """Last-resort guarantee that stdout gets a parseable final line: if the
+    measured run itself wedges on a tunnel outage (post-probe), print the
+    last_measured fallback and exit before the DRIVER's own timeout turns
+    the round's scoreboard entry into rc=124/parsed=null (BENCH_r04)."""
+    fallback = {
+        "metric": metric, "value": None, "unit": "min", "vs_baseline": None,
+        "error": f"watchdog: run exceeded BENCH_HARD_TIMEOUT_S="
+                 f"{hard_timeout_s:.0f}s (axon tunnel outage mid-run)",
+        "last_measured": _last_measured(metric)}
+
+    def _fire():
+        time.sleep(hard_timeout_s)
+        if _emit_final(fallback):
+            os._exit(0)
+
+    threading.Thread(target=_fire, daemon=True).start()
 
 
 def _probe_tflops():
@@ -155,6 +208,8 @@ def _last_measured(metric: str):
                     continue
                 row = json.loads(line)
                 if (row.get("metric") == metric and row.get("value")
+                        and not row.get("interim")
+                        and not row.get("window_degraded")
                         and (best is None or row["value"] < best["value"])):
                     best = {"value": row["value"],
                             "vs_baseline": row.get("vs_baseline"),
@@ -181,14 +236,28 @@ def main():
     global BASELINE_MIN
     if CONFIG != "PTQ4ViT" or BITS != (8, 8) or SEQUENTIAL:
         BASELINE_MIN = None
+    # FIRST byte out is a parseable interim line, printed before any JAX
+    # import or device touch — whatever kills this process later (driver
+    # timeout, tunnel outage, OOM), the round's scoreboard channel already
+    # holds valid JSON pointing at the last committed measurement.
+    print(json.dumps({
+        "metric": metric, "interim": True, "startup": True,
+        "value": None, "unit": "min", "vs_baseline": None,
+        "last_measured": _last_measured(metric)}), flush=True)
+    # ... and a watchdog guarantees a FINAL line even if the run wedges
+    # post-probe (default 40 min, well under typical driver budgets).
+    _start_watchdog(metric,
+                    float(os.environ.get("BENCH_HARD_TIMEOUT_S", "2400")))
+    if os.environ.get("BENCH_TEST_HANG_S"):   # outage simulation (tests)
+        time.sleep(float(os.environ["BENCH_TEST_HANG_S"]))
     if os.environ.get("BENCH_SKIP_PROBE") != "1" and not _await_healthy_device(
-            max_probes=int(os.environ.get("BENCH_PROBE_MAX", "10"))):
-        print(json.dumps({
+            max_wait_s=float(os.environ.get("BENCH_MAX_WAIT_S", "600"))):
+        _emit_final({
             "metric": metric,
             "value": None, "unit": "min", "vs_baseline": None,
             "error": "device unreachable: trivial matmul probe hung/failed "
                      "(axon tunnel outage)",
-            "last_measured": _last_measured(metric)}))
+            "last_measured": _last_measured(metric)})
         if os.environ.get("BENCH_STRICT_EXIT") == "1":
             # queue mode: a probe-failed run must NOT count as done
             # (the driver's own invocations stay exit-0 tolerant)
@@ -269,11 +338,11 @@ def main():
                           "run": i + 1, "value": round(runs[-1][0], 3),
                           "unit": "min"}), file=sys.stderr, flush=True)
     if not runs:
-        print(json.dumps({
+        _emit_final({
             "metric": metric, "value": None, "unit": "min",
             "vs_baseline": None,
             "error": f"all {max(1, repeats)} runs failed: {errors[-1][:500]}",
-            "last_measured": _last_measured(metric)}))
+            "last_measured": _last_measured(metric)})
         if os.environ.get("BENCH_STRICT_EXIT") == "1":
             raise SystemExit(3)
         return
@@ -298,12 +367,17 @@ def main():
         out["probe_bf16_tflops"] = probe_tflops  # healthy chip ≈ 112
         if probe_invalid:
             out["probe_invalid"] = True          # physically impossible read
+        if probe_tflops < DEGRADED_BF16_TFLOPS:
+            # tunnel was in a degraded window when this row ran: the minutes
+            # measure the weather, not the machine — self-describe so
+            # harvesting and the grid artifacts never mix such rows in
+            out["window_degraded"] = True
     best = _last_measured(metric)
     if best and best["value"] and minutes > 1.3 * best["value"]:
         # this run landed in a tunnel contention window (BENCH_NOTES.md);
         # point at the best committed measurement of the same metric
         out["best_recorded"] = best
-    print(json.dumps(out))
+    _emit_final(out)
 
 
 if __name__ == "__main__":

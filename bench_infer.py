@@ -85,6 +85,10 @@ def main():
         **({"probe_bf16_tflops": probe_tflops}
            if probe_tflops is not None else {}),
         **({"probe_invalid": True} if probe_invalid else {}),
+        # degraded tunnel window (probe below the ~40 healthy floor): the
+        # img/s rows measure the weather, not the machine
+        **({"window_degraded": True}
+           if probe_tflops is not None and probe_tflops < 40.0 else {}),
         "fp32": round(fp32, 1),
         "bf16": round(bf16, 1),
         "fake_quant": round(fake, 1),

@@ -33,6 +33,16 @@ def harvest_lines(lines):
         except json.JSONDecodeError:
             continue
         if isinstance(row, dict) and "metric" in row:
+            # retro-tag degraded-window rows harvested from logs that
+            # predate bench.py's own "window_degraded" stamp: a probe below
+            # the healthy floor (~40 bf16 TFLOP/s, CLAUDE.md band 50-62)
+            # means the minutes measured tunnel weather, not the machine —
+            # consumers (bench._last_measured, BENCH_NOTES medians) must
+            # never pick such a row over a healthy-window one
+            probe = row.get("probe_bf16_tflops")
+            if (probe is not None and probe < 40.0
+                    and not row.get("window_degraded")):
+                row["window_degraded"] = True
             rows.append({"cmd": cmd, **row})
     return rows
 
