@@ -275,8 +275,6 @@ def main():
     from ptq4vit_tpu.models import get_net
     from ptq4vit_tpu.utils.synthetic import synthetic_images
 
-    probe_tflops, probe_invalid = _probe_tflops()
-
     net = get_net(MODEL)
     calib = synthetic_images(CALIB, net.cfg.img_size, seed=3)
 
@@ -318,13 +316,15 @@ def main():
     runs = []
     import sys
     errors = []
+    probes = []       # weather stamp taken immediately BEFORE each repeat
     for i in range(max(1, repeats)):
         # a single crashed repeat (e.g. the tunnel's remote compile helper
         # SIGTERMing mid-compile, seen as JaxRuntimeError HTTP 500) must not
         # lose the other repeats — every compile that DID land is in the
         # persistent cache, so the next repeat resumes warm
+        probes.append(_probe_tflops())
         try:
-            runs.append(one_run())
+            runs.append(one_run() + (i,))
         except Exception as e:
             errors.append(f"run {i + 1}: {type(e).__name__}: {e}")
             print(json.dumps({"metric": metric, "interim": True,
@@ -336,6 +336,7 @@ def main():
         # device-window logs capture 2>&1, the harvester keeps the rows
         print(json.dumps({"metric": metric, "interim": True,
                           "run": i + 1, "value": round(runs[-1][0], 3),
+                          "probe_bf16_tflops": probes[-1][0],
                           "unit": "min"}), file=sys.stderr, flush=True)
     if not runs:
         _emit_final({
@@ -346,22 +347,34 @@ def main():
         if os.environ.get("BENCH_STRICT_EXIT") == "1":
             raise SystemExit(3)
         return
-    minutes, r = min(runs, key=lambda mr: mr[0])
+    minutes, r, best_i = min(runs, key=lambda mr: mr[0])
+    # median over WARM repeats only (run 1 absorbs cold compiles — including
+    # it would penalize fresh-cache invocations for compile time, which the
+    # reference baselines don't include either); with a single warm repeat
+    # the median is that repeat
+    warm = sorted(m for m, _, i in runs if i > 0) or [minutes]
+    median = warm[len(warm) // 2] if len(warm) % 2 else (
+        warm[len(warm) // 2 - 1] + warm[len(warm) // 2]) / 2
     capture_s = r.capture_seconds
     search_s = sum(r.search_seconds.values())
+    probe_tflops, probe_invalid = probes[best_i]
     out = {
         "metric": metric,
         "value": round(minutes, 3),
         "unit": "min",
         "vs_baseline": (round(BASELINE_MIN / minutes, 2)
                         if BASELINE_MIN is not None else None),
+        "median": round(median, 3),
+        "median_vs_baseline": (round(BASELINE_MIN / median, 2)
+                               if BASELINE_MIN is not None else None),
         "capture_s": round(capture_s, 1),
         "search_s": round(search_s, 1),
         "target_s": round(r.target_seconds, 1),
         "sync_s": round(r.sync_seconds, 1),
         "other_s": round(minutes * 60 - capture_s - search_s
                          - r.target_seconds - r.sync_seconds, 1),
-        "all_minutes": [round(m, 3) for m, _ in runs],
+        "all_minutes": [round(m, 3) for m, _, _ in runs],
+        "probe_per_run": [p for p, _ in probes],
     }
     if probe_tflops is not None:
         out["probe_bf16_tflops"] = probe_tflops  # healthy chip ≈ 112
