@@ -195,6 +195,13 @@ class HessianQuantCalibrator:
         self.wrapped_modules = (list(wrapped_modules.items())
                                 if wrapped_modules is not None
                                 else list(net.op_inventory))
+        if sequential:
+            # sequential steps follow the reference's module-walk order
+            # (proj BEFORE the attention matmuls — see
+            # net_wrap.reference_wrap_order; behaviorally load-bearing:
+            # quantized proj kills the matmuls' probe gradients)
+            from ..models.net_wrap import reference_wrap_order
+            self.wrapped_modules = reference_wrap_order(self.wrapped_modules)
         self.report = CalibReport(model=net.name, config=quant_cfg.name)
 
     # -- checkpoint/resume -------------------------------------------------
@@ -282,14 +289,15 @@ class HessianQuantCalibrator:
             # the np-based quantile conv).
             plan = None
             if (os.environ.get("PTQ4VIT_TPU_SEQ_SHARED", "1") != "0"
-                    and self.mesh is None and todo):
+                    and todo):
                 try:
                     from .capture import SequentialCapturePlan
                     plan = SequentialCapturePlan(
                         net, self.calib_x, batch_size=self.batch_size,
                         need_grad=need_grad, probe_sigma=self.probe_sigma,
                         target_probs=target,
-                        ops=[n for n, _ in self.wrapped_modules])
+                        ops=[n for n, _ in self.wrapped_modules],
+                        mesh=self.mesh)
                     templates = {
                         n: self._template_qp(n, t, policies[n], plan)
                         for n, t in self.wrapped_modules}

@@ -130,12 +130,27 @@ class SequentialCapturePlan:
     def __init__(self, net, calib_x: np.ndarray, *, batch_size: int,
                  need_grad: bool, probe_sigma: float,
                  target_probs: Optional[np.ndarray],
-                 ops: Sequence[str]):
+                 ops: Sequence[str], mesh=None):
         params, cfg, fwd = net.params, net.cfg, net.forward
         num = calib_x.shape[0]
         if num % batch_size != 0:
             batch_size = next(b for b in range(min(batch_size, num), 0, -1)
                               if num % b == 0)
+        if mesh is not None:
+            # sequential mode on the mesh (reference quant_calib.py:28-55
+            # semantics under SPMD): each micro-batch shards its sample axis
+            # over "data", every padded tap/eps buffer keeps the sample axis
+            # leading so it shards the same way, and the step output lands
+            # P("data") like capture()'s caches
+            dp = mesh.shape["data"]
+            if batch_size % dp != 0 or num % batch_size != 0:
+                batch_size = next(
+                    (b for b in range(min(max(batch_size, dp), num), 0, -1)
+                     if num % b == 0 and b % dp == 0), None)
+                if batch_size is None:
+                    raise ValueError(
+                        f"calib size {num} not shardable over data={dp}")
+        self.mesh = mesh
         self.net = net
         self.names = list(ops)
         self.need_grad = need_grad
@@ -160,16 +175,20 @@ class SequentialCapturePlan:
         def nel(ts, n, field):
             return int(np.prod(ts[n][field].shape))
 
-        def pads_of(ts):
+        def pads_of(ts, b):
+            # pads are PER-IMAGE: every tap keeps the sample axis leading
+            # (Swin matmuls are samples-major over windows), so the padded
+            # buffers are (batch, pad_img) — shardable over "data" on a
+            # mesh — and the pads are micro-batch-size independent
             p1 = max(nel(ts, n, "a" if kinds[n] == "matmul" else "x")
-                     for n in names)
+                     for n in names) // b
             mm = [n for n in names if kinds[n] == "matmul"]
-            p2 = max((nel(ts, n, "b") for n in mm), default=1)
-            po = max(nel(ts, n, "out") for n in names)
+            p2 = max((nel(ts, n, "b") for n in mm), default=b) // b
+            po = max(nel(ts, n, "out") for n in names) // b
             return p1, p2, po
 
         tap_shapes = shapes_for(batch_size)
-        pad_in1, pad_in2, pad_out = pads_of(tap_shapes)
+        pad_in1, pad_in2, pad_out = pads_of(tap_shapes, batch_size)
 
         # HBM-aware micro-batch: the shared executable's peak liveness is
         # every op's taps at the traced switch (the tap index is dynamic,
@@ -184,8 +203,8 @@ class SequentialCapturePlan:
                    + (nel(tap_shapes, n, "b") if kinds[n] == "matmul" else 0)
                    + nel(tap_shapes, n, "out") for n in names)
         per_img_live = live / batch_size
-        per_img_stack = (pad_in1 + pad_in2
-                         + pad_out * (2 if need_grad else 1)) / batch_size
+        per_img_stack = (pad_in1 + pad_in2            # pads are per-image
+                         + pad_out * (2 if need_grad else 1))
         budget = _plan_budget_bytes()
         slack = 2.0 if need_grad else 1.3   # bwd residuals / XLA workspace
         fixed = 4.0 * per_img_stack * num
@@ -194,16 +213,18 @@ class SequentialCapturePlan:
             return 4.0 * slack * per_img_live * b + fixed <= budget
 
         if not fits(batch_size):
+            dp = 1 if mesh is None else mesh.shape["data"]
             b_ok = next((b for b in range(batch_size - 1, 0, -1)
-                         if num % b == 0 and fits(b)), None)
+                         if num % b == 0 and b % dp == 0 and fits(b)), None)
             if b_ok is None:
                 raise MemoryError(
                     "sequential capture plan exceeds the HBM budget "
-                    f"({budget / 2**30:.1f} GiB) even at micro-batch 1 "
-                    f"(per-image live ~{per_img_live * 4 / 2**30:.2f} GiB)")
+                    f"({budget / 2**30:.1f} GiB) even at micro-batch "
+                    f"{dp} (per-image live ~"
+                    f"{per_img_live * 4 / 2**30:.2f} GiB)")
             batch_size = b_ok
             tap_shapes = shapes_for(batch_size)
-            pad_in1, pad_in2, pad_out = pads_of(tap_shapes)
+            pad_in1, pad_in2, pad_out = pads_of(tap_shapes, batch_size)
 
         self.tap_shapes = tap_shapes
         self.pad_in1, self.pad_in2, self.pad_out = pad_in1, pad_in2, pad_out
@@ -214,13 +235,17 @@ class SequentialCapturePlan:
         idx = {n: i for i, n in enumerate(names)}
 
         def padflat(a, size):
-            a = a.astype(jnp.float32).reshape(-1)
-            return jnp.pad(a, (0, size - a.shape[0]))
+            # per-sample layout: (batch, pad_img) — every tap keeps the
+            # sample axis leading (Swin matmul taps are samples-major over
+            # windows), so on a mesh the buffer shards over "data" with
+            # zero cross-device gathers
+            a = a.astype(jnp.float32).reshape(batch_size, -1)
+            return jnp.pad(a, ((0, 0), (0, size - a.shape[1])))
 
         def step_fn(p, qs, k, xb, tb):
             if need_grad:
                 # ONE padded eps buffer, masked to op k: the VJP then
-                # carries a single (pad_out,) cotangent instead of
+                # carries a single (batch, pad_out) cotangent instead of
                 # materializing EVERY op's gradient at the switch (the
                 # all-ops grads dict plus its eps_zeros inputs kept
                 # ~2 x sum(out elements) floats live per micro-batch —
@@ -232,14 +257,14 @@ class SequentialCapturePlan:
                     eps = {}
                     for n, sh in eps_shapes.items():
                         m = (k == idx[n]).astype(jnp.float32)
-                        nelm = int(np.prod(sh))
-                        eps[n] = (eps_flat[:nelm] * m).reshape(sh)
+                        nelm = int(np.prod(sh)) // batch_size
+                        eps[n] = (eps_flat[:, :nelm] * m).reshape(sh)
                     logits, taps = fwd(p, xb, cfg, qstate=qs, eps=eps,
                                        capture=True)
                     return _kl_batchmean(logits, tb), taps
                 (_, taps), gflat = jax.value_and_grad(
                     loss_fn, has_aux=True)(
-                        jnp.zeros((pad_out,), jnp.float32))
+                        jnp.zeros((batch_size, pad_out), jnp.float32))
             else:
                 _, taps = fwd(p, xb, cfg, qstate=qs, capture=True)
                 gflat = None
@@ -251,7 +276,8 @@ class SequentialCapturePlan:
                                   pad_in1)
                     in2 = (padflat(t["b"], pad_in2)
                            if kinds[n] == "matmul"
-                           else jnp.zeros((pad_in2,), jnp.float32))
+                           else jnp.zeros((batch_size, pad_in2),
+                                          jnp.float32))
                     out = padflat(t["out"], pad_out)
                     return in1, in2, out
                 return br
@@ -263,17 +289,27 @@ class SequentialCapturePlan:
                 xb, tb = inp
                 return None, step_fn(p, qs, k, xb, tb)
             _, stacked = jax.lax.scan(body, None, (x_all, t_all))
-            return stacked
+            # (n_micro, batch, pad) -> (num, pad): the whole-run sample axis
+            # leads, exactly like capture()'s caches (P("data") on a mesh)
+            return jax.tree.map(
+                lambda a: a.reshape((-1,) + a.shape[2:]), stacked)
 
         # memoized like capture()'s executables: repeat sequential runs on
         # the same net (bench repeats, resumed runs) reuse the loaded
-        # executable
+        # executable.  Mesh OBJECT in the key (hashable; a dead mesh must
+        # not alias a recycled one).
         key = ("seq", tuple(names), batch_size, need_grad,
-               float(probe_sigma), calib_x.shape[1:])
+               float(probe_sigma), calib_x.shape[1:], mesh)
         jit_cache = _net_cache(net).setdefault("capture_jit", {})
         self._jit = jit_cache.get(key)
         if self._jit is None:
-            self._jit = jit_cache[key] = jax.jit(plan_fn)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                self._jit = jax.jit(
+                    plan_fn, out_shardings=NamedSharding(mesh, P("data")))
+            else:
+                self._jit = jax.jit(plan_fn)
+            jit_cache[key] = self._jit
 
         self._params = params
         self._n_micro = num // batch_size
@@ -285,6 +321,14 @@ class SequentialCapturePlan:
         else:
             self._t_all = jnp.zeros((self._n_micro, batch_size, 1),
                                     jnp.float32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(mesh, P())
+            self._x_all = jax.device_put(
+                self._x_all, NamedSharding(mesh, P(None, "data")))
+            self._t_all = jax.device_put(
+                self._t_all, NamedSharding(mesh, P(None, "data")))
+            self._params = jax.device_put(params, rep)
 
     def step(self, gated_qstate, name: str) -> OpCapture:
         """Capture op ``name`` under the prefix encoded in ``gated_qstate``
@@ -296,9 +340,11 @@ class SequentialCapturePlan:
         shapes = self.tap_shapes[name]
 
         def unpad(buf, field):
+            # buf: (num, pad_img) sample-major -> (num*k, per-sample shape)
+            # where shp = one micro-batch's tap shape (leading batch*k)
             shp = tuple(shapes[field].shape)
-            n = int(np.prod(shp))
-            a = buf[:, :n].reshape((self._n_micro,) + shp)
+            n_img = int(np.prod(shp)) // self.batch_size
+            a = buf[:, :n_img].reshape((self._n_micro,) + shp)
             return a.reshape((-1,) + shp[1:])
 
         if kind == "matmul":

@@ -148,6 +148,14 @@ def _feature_similarity(raw, sim, metric: str, raw_grad, axis: int):
     _get_similarity, linear.py:399-424)."""
     if metric == "cosine":
         return cosine_similarity(raw, sim, axis=axis)
+    if metric == "pearson":
+        # centered cosine along the feature axis (reference matmul pearson,
+        # matmul.py:442-449: F.cosine_similarity(raw-mean, sim-mean, dim));
+        # NOTE the linear engine's pearson is different (chunk-global means,
+        # linear.py:426-453) and lives in its own path
+        return cosine_similarity(raw - jnp.mean(raw, axis=axis, keepdims=True),
+                                 sim - jnp.mean(sim, axis=axis, keepdims=True),
+                                 axis=axis)
     if metric == "L1_norm":
         s = -jnp.abs(raw - sim)
     elif metric == "L2_norm":

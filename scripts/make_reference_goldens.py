@@ -66,6 +66,17 @@ def install_shims():
     torch.Tensor.cuda = lambda self, *a, **k: self
     nn.Module.cuda = lambda self, *a, **k: self
     torch.cuda.empty_cache = lambda: None
+    # LATENT REFERENCE BUG, shimmed to its single unambiguous intent: the
+    # pearson helpers call `.contiguous_()` (linear.py:433,439,448), a
+    # method that has never existed in torch — the reference's pearson
+    # metric on the batching linear CRASHES as written (its published
+    # results are hessian-based, so the path is dead code upstream).  The
+    # following `.view(...)` requires a contiguous tensor, so the intent is
+    # `.contiguous()`; the shim realizes exactly that, nothing more.
+    # PARITY NOTE: the repo implements the intended pearson formula
+    # (chunk-local means, calib/search.py); README.md lists the divergence.
+    if not hasattr(torch.Tensor, "contiguous_"):
+        torch.Tensor.contiguous_ = torch.Tensor.contiguous
 
     timm = types.ModuleType("timm")
     models = types.ModuleType("timm.models")
@@ -169,6 +180,48 @@ class TinyViT(nn.Module):
         for blk in self.blocks:
             h = blk(h)
         return self.head(self.norm(h)[:, 0])
+
+
+class TinyDeiT(nn.Module):
+    """timm-DeiT-distilled-shaped tiny net (dist_token + head_dist; eval
+    output is the mean of the two heads, as timm's
+    DistilledVisionTransformer.forward does at inference).  The REFERENCE
+    CRASHES on this family: its module-type map has no 'head_dist' entry
+    (utils/net_wrap.py:42 KeyError), so the golden for this cell records
+    the crash and pins ingestion/architecture parity only."""
+
+    CFG = dict(img_size=32, patch_size=8, embed_dim=24, depth=2,
+               num_heads=3, num_classes=10, mlp_ratio=4.0, ln_eps=1e-6,
+               distilled=True)
+
+    def __init__(self):
+        super().__init__()
+        c = self.CFG
+        d = c["embed_dim"]
+        n = (c["img_size"] // c["patch_size"]) ** 2
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, d, c["patch_size"],
+                                          c["patch_size"])
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, d))
+        self.dist_token = nn.Parameter(torch.zeros(1, 1, d))
+        self.pos_embed = nn.Parameter(torch.zeros(1, n + 2, d))
+        self.blocks = nn.ModuleList(
+            [TinyBlock(d, c["num_heads"], c["ln_eps"])
+             for _ in range(c["depth"])])
+        self.norm = nn.LayerNorm(d, eps=c["ln_eps"])
+        self.head = nn.Linear(d, c["num_classes"])
+        self.head_dist = nn.Linear(d, c["num_classes"])
+
+    def forward(self, x):
+        B = x.shape[0]
+        h = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        h = torch.cat([self.cls_token.expand(B, -1, -1),
+                       self.dist_token.expand(B, -1, -1), h], 1) \
+            + self.pos_embed
+        for blk in self.blocks:
+            h = blk(h)
+        h = self.norm(h)
+        return (self.head(h[:, 0]) + self.head_dist(h[:, 1])) / 2
 
 
 def _rpi(ws):
@@ -327,6 +380,16 @@ class TinySwin(nn.Module):
         return self.head(self.norm(h).mean(1))
 
 
+class TinySwin3(TinySwin):
+    """TinySwin with ODD head counts (3, 6): exercises the fused Pallas
+    scorers' head-padding path (heads not a lane multiple) plus the shifted
+    window masks, on top of the geometry the base TinySwin already covers."""
+
+    CFG = dict(img_size=32, patch_size=2, embed_dim=12, depths=(2, 2),
+               num_heads=(3, 6), window_size=4, num_classes=7,
+               mlp_ratio=4.0, ln_eps=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # the literal reference pipeline on one (net, config, bits, metric) cell
 # ---------------------------------------------------------------------------
@@ -344,24 +407,61 @@ class OneBatchLoader:
         return iter(self.items)
 
 
-def apply_cfg_modifier(cfg, bit_setting, metric):
-    """The literal cfg_modifier mutations (example/test_all.py:53-78)."""
+def apply_cfg_modifier(cfg, bit_setting, metric, linear_ptq_setting=(1, 1, 1),
+                       no_softmax=None, no_postgelu=None,
+                       matmul_blocks=None, conv_metric=None,
+                       linear_metric=None):
+    """The literal cfg_modifier mutations (example/test_all.py:53-78 for the
+    grid knobs; example/test_ablation.py:42-82 adds linear_ptq_setting and
+    the no_softmax/no_postgelu class switches — cfg here IS the imported
+    reference config module, so setting cfg.no_softmax mutates the module
+    global that configs.PTQ4ViT.get_module branches on (PTQ4ViT.py:62,76)).
+
+    matmul_blocks injects blocked-operand kwargs (n_V_A/n_H_A/n_V_B/n_H_B)
+    into ptqsl_matmul_kwargs; the batching matmul classes accept them
+    (matmul.py:390-394) while n_G_* stays forced head-wise
+    (matmul.py:411-417)."""
     cfg.bit = bit_setting
     cfg.w_bit = {name: bit_setting[0] for name in cfg.conv_fc_name_list}
     cfg.a_bit = {name: bit_setting[1] for name in cfg.conv_fc_name_list}
     cfg.A_bit = {name: bit_setting[1] for name in cfg.matmul_name_list}
     cfg.B_bit = {name: bit_setting[1] for name in cfg.matmul_name_list}
-    cfg.ptqsl_conv2d_kwargs["n_V"] = 1
-    cfg.ptqsl_conv2d_kwargs["n_H"] = 1
+    cfg.ptqsl_conv2d_kwargs["n_V"] = linear_ptq_setting[0]
+    cfg.ptqsl_conv2d_kwargs["n_H"] = linear_ptq_setting[1]
     cfg.ptqsl_conv2d_kwargs["metric"] = metric
     cfg.ptqsl_conv2d_kwargs["init_layerwise"] = False
-    cfg.ptqsl_linear_kwargs["n_V"] = 1
-    cfg.ptqsl_linear_kwargs["n_H"] = 1
-    cfg.ptqsl_linear_kwargs["n_a"] = 1
+    cfg.ptqsl_linear_kwargs["n_V"] = linear_ptq_setting[0]
+    cfg.ptqsl_linear_kwargs["n_H"] = linear_ptq_setting[1]
+    cfg.ptqsl_linear_kwargs["n_a"] = linear_ptq_setting[2]
     cfg.ptqsl_linear_kwargs["metric"] = metric
     cfg.ptqsl_linear_kwargs["init_layerwise"] = False
     cfg.ptqsl_matmul_kwargs["metric"] = metric
     cfg.ptqsl_matmul_kwargs["init_layerwise"] = False
+    if matmul_blocks:
+        cfg.ptqsl_matmul_kwargs.update(matmul_blocks)
+    if conv_metric is not None:
+        # ChannelwiseBatchingQuantConv2d implements cosine/L1/L2/weighted/
+        # hessian but NOT pearson (conv.py:498-523 raises) - the reference
+        # itself would crash if cfg_modifier set pearson on conv, so the
+        # pearson cell pins matmul pearson with conv on hessian
+        cfg.ptqsl_conv2d_kwargs["metric"] = conv_metric
+    if linear_metric is not None:
+        # the reference's pearson-LINEAR path is dead code with TWO literal
+        # bugs: `.contiguous_()` (linear.py:433,439,448 - method never
+        # existed in torch) and `transpose(-1,-3).view(...)` on a
+        # non-contiguous tensor (linear.py:434 RuntimeError even with the
+        # first bug shimmed).  It cannot run as written, so the pearson
+        # golden pins the METRIC differentially on the matmul surface only;
+        # the repo's pearson-linear implements the documented intent and is
+        # pinned by the independent torch oracles (test_search_parity).
+        cfg.ptqsl_linear_kwargs["metric"] = linear_metric
+    # None = leave the config module's own default untouched (these are
+    # module GLOBALS that get_module branches on; BasePTQ has no such
+    # branches and PTQ4ViT defaults both False, PTQ4ViT.py:5-6)
+    if no_softmax is not None:
+        cfg.no_softmax = no_softmax
+    if no_postgelu is not None:
+        cfg.no_postgelu = no_postgelu
     return cfg
 
 
@@ -376,7 +476,10 @@ def probe_u(shape):
                                         shape, dtype="float32"))
 
 
-def run_cell(make_net, kind, config_name, bit_setting, metric):
+def run_cell(make_net, kind, config_name, bit_setting, metric, *, tag="",
+             sequential=False, linear_ptq_setting=(1, 1, 1),
+             no_softmax=None, no_postgelu=None, matmul_blocks=None,
+             conv_metric=None, linear_metric=None):
     torch.manual_seed(0)
     net = make_net()
     for p in net.parameters():
@@ -399,7 +502,11 @@ def run_cell(make_net, kind, config_name, bit_setting, metric):
         raw_logits_eval = net(torch.from_numpy(eval_x)).numpy()
 
     cfg = importlib.reload(importlib.import_module(f"configs.{config_name}"))
-    apply_cfg_modifier(cfg, bit_setting, metric)
+    apply_cfg_modifier(cfg, bit_setting, metric,
+                       linear_ptq_setting=linear_ptq_setting,
+                       no_softmax=no_softmax, no_postgelu=no_postgelu,
+                       matmul_blocks=matmul_blocks, conv_metric=conv_metric,
+                       linear_metric=linear_metric)
     wrapped = wrap_modules_in_net(net, cfg)
 
     # Snapshot each module's raw_input/raw_out/raw_grad right before its
@@ -442,7 +549,7 @@ def run_cell(make_net, kind, config_name, bit_setting, metric):
     qc.F.softmax = perturbed_softmax
     try:
         calib = qc.HessianQuantCalibrator(
-            net, wrapped, OneBatchLoader(calib_x), sequential=False,
+            net, wrapped, OneBatchLoader(calib_x), sequential=sequential,
             batch_size=BATCH_SIZE)
         t0 = time.time()
         calib.batching_quant_calib()
@@ -477,6 +584,11 @@ def run_cell(make_net, kind, config_name, bit_setting, metric):
     meta = {
         "kind": kind, "cfg": dict(make_net.CFG), "config": config_name,
         "bit_setting": list(bit_setting), "metric": metric,
+        "tag": tag, "sequential": sequential,
+        "linear_ptq_setting": list(linear_ptq_setting),
+        "no_softmax": bool(no_softmax), "no_postgelu": bool(no_postgelu),
+        "matmul_blocks": matmul_blocks, "conv_metric": conv_metric,
+        "linear_metric": linear_metric,
         "probe_seed": PROBE_SEED, "probe_sigma": PROBE_SIGMA,
         "calib_n": CALIB_N, "batch_size": BATCH_SIZE,
         "torch_version": torch.__version__,
@@ -493,20 +605,115 @@ def run_cell(make_net, kind, config_name, bit_setting, metric):
 
     os.makedirs(OUT_DIR, exist_ok=True)
     bits = f"w{bit_setting[0]}a{bit_setting[1]}"
-    path = os.path.join(OUT_DIR,
-                        f"ref_{kind}_{config_name}_{bits}_{metric}.npz")
+    stem = f"ref_{kind}_{config_name}_{bits}_{metric}"
+    if tag:
+        stem += f"_{tag}"
+    path = os.path.join(OUT_DIR, f"{stem}.npz")
     np.savez_compressed(path, **arrays)
     print(f"wrote {path} ({dt:.1f}s, {len(wrapped)} modules)")
 
 
+def run_distilled_ingestion_cell():
+    """Distilled-DeiT golden: the reference CANNOT calibrate this family —
+    wrap_modules_in_net KeyErrors on 'head_dist' (net_wrap.py:42's
+    module_types map) — so the golden records the literal crash plus the
+    raw torch state_dict/logits; the test pins (a) that divergence and
+    (b) ingestion/architecture parity, and calibrates repo-side only."""
+    torch.manual_seed(0)
+    net = TinyDeiT()
+    gen = torch.Generator().manual_seed(17)
+    with torch.no_grad():
+        for p in net.parameters():
+            p.add_(0.05 * torch.randn(p.shape, generator=gen))
+    net.eval()
+    sd = {k: v.detach().numpy().copy() for k, v in net.state_dict().items()}
+    img = net.CFG["img_size"]
+    rng = np.random.default_rng(7)
+    calib_x = rng.standard_normal((CALIB_N, 3, img, img)).astype(np.float32)
+    eval_x = rng.standard_normal((EVAL_N, 3, img, img)).astype(np.float32)
+    with torch.no_grad():
+        raw_logits = net(torch.from_numpy(calib_x)).numpy()
+        raw_logits_eval = net(torch.from_numpy(eval_x)).numpy()
+
+    cfg = importlib.reload(importlib.import_module("configs.PTQ4ViT"))
+    apply_cfg_modifier(cfg, (8, 8), "hessian")
+    try:
+        wrap_modules_in_net(net, cfg)
+        crash = None
+    except Exception as e:          # the documented reference behavior
+        crash = f"{type(e).__name__}: {e}"
+
+    arrays = {"calib_x": calib_x, "eval_x": eval_x,
+              "raw_logits": raw_logits, "raw_logits_eval": raw_logits_eval}
+    for k, v in sd.items():
+        arrays[f"sd::{k}"] = v
+    meta = {"kind": "tinydeit", "cfg": dict(TinyDeiT.CFG),
+            "config": "PTQ4ViT", "bit_setting": [8, 8], "metric": "hessian",
+            "probe_seed": PROBE_SEED, "probe_sigma": PROBE_SIGMA,
+            "calib_n": CALIB_N, "batch_size": BATCH_SIZE,
+            "torch_version": torch.__version__,
+            "reference_crash": crash}
+    arrays["__meta__"] = np.array(json.dumps(meta))
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, "ref_tinydeit_ingest.npz")
+    np.savez_compressed(path, **arrays)
+    print(f"wrote {path} (reference crash: {crash})")
+
+
 def main():
+    only = set(sys.argv[1:])        # optional: regenerate named cells only
+
+    def want(stem):
+        return not only or any(o in stem for o in only)
+
     vit_cells = [(c, b, m) for c in ("PTQ4ViT", "BasePTQ")
                  for b in ((8, 8), (6, 6)) for m in ("hessian", "cosine")]
     for config_name, bits, metric in vit_cells:
-        run_cell(TinyViT, "tinyvit", config_name, bits, metric)
+        if want(f"tinyvit_{config_name}_w{bits[0]}a{bits[1]}_{metric}"):
+            run_cell(TinyViT, "tinyvit", config_name, bits, metric)
     for config_name, bits, metric in [("PTQ4ViT", (8, 8), "hessian"),
                                       ("PTQ4ViT", (6, 6), "hessian")]:
-        run_cell(TinySwin, "tinyswin", config_name, bits, metric)
+        if want(f"tinyswin_{config_name}_w{bits[0]}a{bits[1]}_{metric}"):
+            run_cell(TinySwin, "tinyswin", config_name, bits, metric)
+
+    # --- round-5 ablation-surface cells (VERDICT r4 item 3) ---
+    # remaining similarity metrics (linear.py:399-453; pearson's chunk-local
+    # means, L1/L2, the weighted variants)
+    for metric in ("pearson", "L1_norm", "L2_norm",
+                   "linear_weighted_L2_norm", "square_weighted_L2_norm"):
+        if want(f"tinyvit_PTQ4ViT_w8a8_{metric}"):
+            kw = {}
+            if metric == "pearson":
+                kw = dict(conv_metric="hessian", linear_metric="hessian")
+            run_cell(TinyViT, "tinyvit", "PTQ4ViT", (8, 8), metric, **kw)
+    # blocked linear/conv grids (linear.py:117-119: n_V x n_H x n_a > 1)
+    if want("blocked222"):
+        run_cell(TinyViT, "tinyvit", "PTQ4ViT", (8, 8), "hessian",
+                 tag="blocked222", linear_ptq_setting=(2, 2, 2))
+    # blocked matmul operands with REAL ceil-div padding: N=17 tokens over
+    # n_V_A=2 row blocks pads 17->18 (matmul.py:109-138)
+    if want("mmblocked"):
+        run_cell(TinyViT, "tinyvit", "PTQ4ViT", (8, 8), "hessian",
+                 tag="mmblocked",
+                 matmul_blocks=dict(n_V_A=2, n_H_A=2, n_V_B=2, n_H_B=2))
+    # ablation class switches (test_ablation.py:42-82)
+    if want("nosoftmax"):
+        run_cell(TinyViT, "tinyvit", "PTQ4ViT", (8, 8), "hessian",
+                 tag="nosoftmax", no_softmax=True)
+    if want("nopostgelu"):
+        run_cell(TinyViT, "tinyvit", "PTQ4ViT", (8, 8), "hessian",
+                 tag="nopostgelu", no_postgelu=True)
+    # sequential mode (quant_calib.py:28-55: each op captured under the
+    # already-quantized prefix)
+    if want("sequential"):
+        run_cell(TinyViT, "tinyvit", "PTQ4ViT", (8, 8), "hessian",
+                 tag="sequential", sequential=True)
+    # shifted-window Swin with odd head counts (fused-scorer head padding)
+    if want("tinyswin3"):
+        run_cell(TinySwin3, "tinyswin3", "PTQ4ViT", (8, 8), "hessian")
+    # distilled DeiT: reference crashes; ingestion-parity golden
+    if want("tinydeit"):
+        run_distilled_ingestion_cell()
 
 
 if __name__ == "__main__":

@@ -325,3 +325,30 @@ def test_mesh_swin_fused_serving_matches_single_device(rng):
         ServingEngine(net, qstate, mesh=mesh, compute_dtype=jnp.float32)(x))
     np.testing.assert_allclose(multi, single, rtol=1e-5,
                                atol=1e-5 * np.abs(single).max())
+
+
+def test_mesh_sequential_matches_single_device(rng):
+    """Sequential mode (shared compiled-once plan) on the 8-device data mesh
+    produces the same qstate as single-device sequential calibration
+    (VERDICT r4 #5: the plan previously required mesh=None and silently
+    fell back to O(num_ops) structural captures).  The plan's padded
+    tap/eps buffers keep the sample axis leading, so they shard over
+    "data" like capture()'s caches."""
+    from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
+    from ptq4vit_tpu.configs import ptq4vit
+    from tests.test_calibrator import small_cfg
+    net = tiny_net()
+    calib = rng.standard_normal((8, 3, 32, 32)).astype(np.float32)
+    q_single = HessianQuantCalibrator(net, small_cfg(ptq4vit()), calib,
+                                      batch_size=8, sequential=True) \
+        .batching_quant_calib(verbose=False)
+    cal = HessianQuantCalibrator(net, small_cfg(ptq4vit()), calib,
+                                 batch_size=8, sequential=True,
+                                 mesh=make_mesh(8))
+    q_mesh = cal.batching_quant_calib(verbose=False)
+    assert set(q_single) == set(q_mesh)
+    for n in q_single:
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, err_msg=n),
+            q_single[n], q_mesh[n])
