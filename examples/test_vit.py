@@ -71,14 +71,22 @@ def process(pid, experiment_process, args_queue, n_workers):
     print(f"{pid} tot_run {tot_run}")
 
 
-def multiprocess(experiment_process, cfg_list=None, n_workers=1):
-    """Queue-based experiment parallelism (reference test_vit.py:65-80)."""
-    args_queue = multiprocessing.Queue()
+def multiprocess(experiment_process, cfg_list=None, n_workers=1,
+                 start_method="spawn"):
+    """Queue-based experiment parallelism (reference test_vit.py:65-80).
+
+    Workers use the SPAWN start method: forking a process that has already
+    initialized JAX (multi-threaded) is deadlock-prone (CPython emits a
+    DeprecationWarning for exactly this), and each spawned worker needs its
+    own fresh JAX/TPU client anyway (reference pins one GPU per worker;
+    here TPU_VISIBLE_DEVICES does the pinning in `process`)."""
+    ctx = multiprocessing.get_context(start_method)
+    args_queue = ctx.Queue()
     for cfg in cfg_list:
         args_queue.put(cfg)
     ps = []
     for pid in range(n_workers):
-        p = multiprocessing.Process(
+        p = ctx.Process(
             target=process,
             args=(pid, experiment_process, args_queue, n_workers))
         p.start()
