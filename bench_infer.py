@@ -14,7 +14,7 @@ def main():
     if os.environ.get("BENCH_SKIP_PROBE") != "1":
         from bench import _await_healthy_device
         if not _await_healthy_device(
-                max_probes=int(os.environ.get("BENCH_PROBE_MAX", "10"))):
+                max_wait_s=float(os.environ.get("BENCH_MAX_WAIT_S", "600"))):
             model = os.environ.get("BENCH_MODEL", "vit_base_patch16_384")
             bs = os.environ.get("BENCH_BS", "32")
             print(json.dumps({

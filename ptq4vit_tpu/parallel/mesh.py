@@ -124,17 +124,45 @@ class Evaluator:
             y = shard_batch(jax.numpy.asarray(y), self.mesh)
         return int(self._step(self._params, self._qstate, x, y))
 
+    def _n_correct_dev(self, x, y):
+        """Like n_correct but returns the DEVICE scalar without syncing."""
+        if self.mesh is not None:
+            pad = (-len(x)) % self.mesh.shape["data"]
+            if pad:
+                x = np.concatenate([x, np.zeros((pad,) + x.shape[1:],
+                                                x.dtype)])
+                y = np.concatenate([y, np.full((pad,), -1, y.dtype)])
+            x = shard_batch(jax.numpy.asarray(x), self.mesh)
+            y = shard_batch(jax.numpy.asarray(y), self.mesh)
+        return self._step(self._params, self._qstate, x, y)
+
     def evaluate(self, loader, max_iteration: Optional[int] = None,
-                 verbose: bool = False) -> float:
+                 verbose: bool = False, pipeline: int = 8) -> float:
+        """Pipelined evaluation: dispatches run ahead of result reads so
+        H2D staging, compute, and the per-batch D2H scalar overlap instead
+        of a full round-trip sync per batch (the difference is ~3x
+        end-to-end on a high-latency link; identical numbers — summation is
+        merely deferred).  ``pipeline`` bounds in-flight batches (device
+        input buffers); 0 restores strict per-batch syncing."""
         pos = tot = 0
+        pending = []                    # (device scalar, batch size)
         for i, (x, y) in enumerate(loader):
-            pos += self.n_correct(x, y)
-            tot += len(y)
+            pending.append((self._n_correct_dev(x, y), len(y)))
+            while len(pending) > max(pipeline, 0):
+                c, n = pending.pop(0)
+                pos += int(c)
+                tot += n
+                if verbose:
+                    print(f"\r[eval] {pos}/{tot} "
+                          f"acc={pos / max(tot, 1):.4f}", end="", flush=True)
+            if max_iteration is not None and i + 1 >= max_iteration:
+                break
+        for c, n in pending:
+            pos += int(c)
+            tot += n
             if verbose:
                 print(f"\r[eval] {pos}/{tot} acc={pos / max(tot, 1):.4f}",
                       end="", flush=True)
-            if max_iteration is not None and i + 1 >= max_iteration:
-                break
         if verbose:
             print()
         return pos / max(tot, 1)

@@ -352,3 +352,44 @@ def test_mesh_sequential_matches_single_device(rng):
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-5, err_msg=n),
             q_single[n], q_mesh[n])
+
+
+def test_pipelined_evaluate_matches_sync(rng):
+    """Evaluator.evaluate's pipelined drain (dispatch ahead, read late)
+    returns exactly the per-batch-synced accuracy — summation is merely
+    deferred."""
+    net = tiny_net()
+    loader = []
+    for i in range(5):
+        x = rng.standard_normal((4, 3, 32, 32)).astype(np.float32)
+        y = rng.integers(0, 10, 4).astype(np.int64)
+        loader.append((x, y))
+    ev = Evaluator(net)
+    assert ev.evaluate(loader, pipeline=0) == ev.evaluate(loader, pipeline=8)
+    ev_mesh = Evaluator(net, mesh=make_mesh(8))
+    assert ev.evaluate(loader, pipeline=0) == \
+        ev_mesh.evaluate(loader, pipeline=8)
+
+
+def test_serving_engine_raw_uint8(rng):
+    """ServingEngine(raw_uint8=True) on uint8 NCHW equals the f32 engine on
+    the host-normalized images (on-device (x/255-mean)/std, 4x less H2D)."""
+    from ptq4vit_tpu.calib.calibrator import HessianQuantCalibrator
+    from ptq4vit_tpu.configs import ptq4vit
+    from ptq4vit_tpu.parallel import ServingEngine
+    from tests.test_calibrator import small_cfg
+    net = tiny_net()
+    calib = rng.standard_normal((8, 3, 32, 32)).astype(np.float32)
+    qstate = HessianQuantCalibrator(net, small_cfg(ptq4vit()), calib,
+                                    batch_size=4) \
+        .batching_quant_calib(verbose=False)
+    u8 = rng.integers(0, 255, (4, 3, 32, 32), dtype=np.uint8)
+    dc = net.data_config
+    mean = np.asarray(dc.mean, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(dc.std, np.float32).reshape(1, 3, 1, 1)
+    f32 = (u8.astype(np.float32) / 255.0 - mean) / std
+    a = np.asarray(ServingEngine(net, qstate, compute_dtype=jnp.float32,
+                                 raw_uint8=True)(u8))
+    b = np.asarray(ServingEngine(net, qstate,
+                                 compute_dtype=jnp.float32)(f32))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5 * np.abs(b).max())
