@@ -141,7 +141,11 @@ def _start_watchdog(metric: str, hard_timeout_s: float):
     def _fire():
         time.sleep(hard_timeout_s)
         if _emit_final(fallback):
-            os._exit(0)
+            # queue mode (BENCH_STRICT_EXIT=1): a watchdog-killed run must
+            # NOT count as done — exit nonzero so the resumable queue
+            # retries the cell (warm caches make the retry much faster).
+            # Driver mode: exit 0 with the parseable fallback line.
+            os._exit(3 if os.environ.get("BENCH_STRICT_EXIT") == "1" else 0)
 
     threading.Thread(target=_fire, daemon=True).start()
 

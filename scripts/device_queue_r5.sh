@@ -16,7 +16,8 @@
 #   scripts/device_queue_r5.sh [logfile]
 set -u
 export BENCH_STRICT_EXIT=1
-export BENCH_MAX_WAIT_S=240   # the queue's own await loop provides patience
+export BENCH_MAX_WAIT_S=240    # the queue's own await loop provides patience
+export BENCH_HARD_TIMEOUT_S=10000  # per-cell `timeout` values are the real bound
 LOG="${1:-artifacts/device_log_r5.txt}"
 cd "$(dirname "$0")/.."
 mkdir -p artifacts/r5_done

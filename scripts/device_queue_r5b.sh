@@ -6,6 +6,7 @@
 set -u
 export BENCH_STRICT_EXIT=1
 export BENCH_MAX_WAIT_S=240
+export BENCH_HARD_TIMEOUT_S=2200
 LOG="${1:-artifacts/device_log_r5.txt}"
 cd "$(dirname "$0")/.."
 mkdir -p artifacts/r5b_done
