@@ -112,3 +112,18 @@ def test_startup_line_appears_before_any_waiting():
     finally:
         proc.kill()
         proc.wait()
+
+
+def test_serve_e2e_bench_smoke():
+    """scripts/serve_e2e_bench.py emits one parseable JSON row with all four
+    ingest modes (tiny model, CPU backend, probe skipped)."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "serve_e2e_bench.py")],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "BENCH_SKIP_PROBE": "1", "JAX_PLATFORMS": "cpu",
+             "BENCH_MODEL": "vit_tiny_patch16_224", "BENCH_BS": "2",
+             "BENCH_NBATCH": "2"})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    row = json.loads(proc.stdout.strip().splitlines()[-1])
+    for k in ("f32_sync", "f32_pipe", "u8_sync", "u8_pipe"):
+        assert row[k] > 0
