@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Build the BENCH_NOTES round-5 headline-variance table from the device
+log: for every final bench row with >=2 warm repeats, print a markdown row
+with warm runs, median, best-of, and the per-repeat weather stamps.
+
+Usage: python scripts/harvest_r5_headlines.py [logfile ...]
+       (default: artifacts/device_log_r5.txt)
+"""
+import json
+import os
+import sys
+
+
+def rows_from(path):
+    for line in open(path, errors="replace"):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            row = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if (isinstance(row, dict) and not row.get("interim")
+                and row.get("metric", "").startswith("ptq4vit_calib_minutes")
+                and row.get("median") is not None
+                and len(row.get("all_minutes", [])) >= 2):
+            yield row
+
+
+def main():
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sys.argv[1:] or [os.path.join(here, "artifacts",
+                                          "device_log_r5.txt")]
+    best = {}
+    for p in paths:
+        if not os.path.exists(p):
+            continue
+        for row in rows_from(p):
+            m = row["metric"]
+            # keep the latest complete study per metric (later rows are
+            # post-lever reruns)
+            best[m] = row
+    print("| cell | warm runs (min) | median | best | probes |")
+    print("|---|---|---|---|---|")
+    for m in sorted(best):
+        r = best[m]
+        warm = r["all_minutes"][1:] or r["all_minutes"]
+        cell = m.replace("ptq4vit_calib_minutes_", "")
+        med = r["median"]
+        mvb = r.get("median_vs_baseline")
+        vb = r.get("vs_baseline")
+        probes = r.get("probe_per_run") or ([r["probe_bf16_tflops"]]
+                                            if "probe_bf16_tflops" in r
+                                            else [])
+        flag = " **degraded**" if r.get("window_degraded") else ""
+        print(f"| {cell} | {' / '.join(f'{w:.3f}' for w in warm)} "
+              f"| **{med:.3f}**{f' ({mvb}x)' if mvb else ''} "
+              f"| {r['value']:.3f}{f' ({vb}x)' if vb else ''} "
+              f"| {'-'.join(str(p) for p in probes)}{flag} |")
+
+
+if __name__ == "__main__":
+    main()
