@@ -34,12 +34,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    model_env = os.environ.get("BENCH_MODEL", "vit_base_patch16_384")
+    bs_env = os.environ.get("BENCH_BS", "32")
     if os.environ.get("BENCH_SKIP_PROBE") != "1":
         from bench import _await_healthy_device
         if not _await_healthy_device(
                 max_wait_s=float(os.environ.get("BENCH_MAX_WAIT_S", "600"))):
             print(json.dumps({
-                "metric": "serve_e2e_images_per_s",
+                "metric": f"serve_e2e_images_per_s_{model_env}_bs{bs_env}",
                 "value": None, "unit": "img/s",
                 "error": "device unreachable (axon tunnel outage)"}))
             raise SystemExit(3)
