@@ -29,7 +29,7 @@ def main():
                                      "/root/repo/.xla_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from bench import _probe_tflops
+    from bench import DEGRADED_BF16_TFLOPS as DEGRADED, _probe_tflops
     probe_tflops, probe_invalid = _probe_tflops()
 
     from ptq4vit_tpu.configs import ptq4vit
@@ -85,10 +85,10 @@ def main():
         **({"probe_bf16_tflops": probe_tflops}
            if probe_tflops is not None else {}),
         **({"probe_invalid": True} if probe_invalid else {}),
-        # degraded tunnel window (probe below the ~40 healthy floor): the
+        # degraded tunnel window (probe below the healthy floor): the
         # img/s rows measure the weather, not the machine
         **({"window_degraded": True}
-           if probe_tflops is not None and probe_tflops < 40.0 else {}),
+           if probe_tflops is not None and probe_tflops < DEGRADED else {}),
         "fp32": round(fp32, 1),
         "bf16": round(bf16, 1),
         "fake_quant": round(fake, 1),

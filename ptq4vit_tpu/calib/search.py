@@ -607,12 +607,7 @@ def _matmul_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
         (matmul.py:510-518)."""
         raw = r_s[None]
         gc = g_s[None] if policy.metric == "hessian" else None
-        if policy.metric == "pearson":
-            ra = raw - jnp.mean(raw, axis=-1, keepdims=True)
-            sa = out - jnp.mean(out, axis=-1, keepdims=True)
-            sim = cosine_similarity(ra, sa, axis=-1)
-        else:
-            sim = _feature_similarity(raw, out, policy.metric, gc, axis=-1)
+        sim = _feature_similarity(raw, out, policy.metric, gc, axis=-1)
         sim = jnp.mean(sim, axis=3)                        # P,bs,G
         return jnp.sum(sim, axis=1)                        # P,G
 
@@ -882,12 +877,7 @@ def _matmul_blocked_search_jit(A, B, raw_out, raw_grad, policy: OpPolicy,
         summed over the batch (matmul.py:511-513)."""
         raw = raw[None]
         gc = g_s[None] if policy.metric == "hessian" else None
-        if policy.metric == "pearson":
-            ra = raw - jnp.mean(raw, axis=-1, keepdims=True)
-            sa = out - jnp.mean(out, axis=-1, keepdims=True)
-            sim = cosine_similarity(ra, sa, axis=-1)
-        else:
-            sim = _feature_similarity(raw, out, policy.metric, gc, axis=-1)
+        sim = _feature_similarity(raw, out, policy.metric, gc, axis=-1)
         return jnp.sum(jnp.mean(sim, axis=3), axis=1)      # P,G
 
     def group_reduce(sims, nG):

@@ -114,15 +114,7 @@ class Evaluator:
         self._step = jax.jit(step)
 
     def n_correct(self, x, y) -> int:
-        if self.mesh is not None:
-            pad = (-len(x)) % self.mesh.shape["data"]
-            if pad:
-                x = np.concatenate([x, np.zeros((pad,) + x.shape[1:],
-                                                x.dtype)])
-                y = np.concatenate([y, np.full((pad,), -1, y.dtype)])
-            x = shard_batch(jax.numpy.asarray(x), self.mesh)
-            y = shard_batch(jax.numpy.asarray(y), self.mesh)
-        return int(self._step(self._params, self._qstate, x, y))
+        return int(self._n_correct_dev(x, y))
 
     def _n_correct_dev(self, x, y):
         """Like n_correct but returns the DEVICE scalar without syncing."""

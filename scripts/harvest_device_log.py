@@ -18,6 +18,12 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+try:
+    from bench import DEGRADED_BF16_TFLOPS
+except Exception:                       # standalone use outside the repo
+    DEGRADED_BF16_TFLOPS = 40.0
+
 
 def harvest_lines(lines):
     rows = []
@@ -35,12 +41,12 @@ def harvest_lines(lines):
         if isinstance(row, dict) and "metric" in row:
             # retro-tag degraded-window rows harvested from logs that
             # predate bench.py's own "window_degraded" stamp: a probe below
-            # the healthy floor (~40 bf16 TFLOP/s, CLAUDE.md band 50-62)
+            # the healthy floor (bench.DEGRADED_BF16_TFLOPS; CLAUDE.md band 50-62)
             # means the minutes measured tunnel weather, not the machine —
             # consumers (bench._last_measured, BENCH_NOTES medians) must
             # never pick such a row over a healthy-window one
             probe = row.get("probe_bf16_tflops")
-            if (probe is not None and probe < 40.0
+            if (probe is not None and probe < DEGRADED_BF16_TFLOPS
                     and not row.get("window_degraded")):
                 row["window_degraded"] = True
             rows.append({"cmd": cmd, **row})

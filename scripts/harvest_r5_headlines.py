@@ -44,15 +44,22 @@ def main():
     print("|---|---|---|---|---|")
     for m in sorted(best):
         r = best[m]
-        warm = r["all_minutes"][1:] or r["all_minutes"]
+        # bench.py reports the exact runs its median covers (crashed
+        # repeats are dropped from all_minutes, so "skip entry 0" would
+        # mislabel the first survivor after a run-1 crash)
+        warm = r.get("warm_minutes") or r["all_minutes"][1:] \
+            or r["all_minutes"]
         cell = m.replace("ptq4vit_calib_minutes_", "")
         med = r["median"]
         mvb = r.get("median_vs_baseline")
         vb = r.get("vs_baseline")
-        probes = r.get("probe_per_run") or ([r["probe_bf16_tflops"]]
-                                            if "probe_bf16_tflops" in r
-                                            else [])
+        probes = [p for p in (r.get("probe_per_run") or
+                              [r.get("probe_bf16_tflops")])
+                  if p is not None]
         flag = " **degraded**" if r.get("window_degraded") else ""
+        if r.get("median_excluded_degraded_runs"):
+            flag += (f" ({r['median_excluded_degraded_runs']} degraded "
+                     "run(s) excluded from median)")
         print(f"| {cell} | {' / '.join(f'{w:.3f}' for w in warm)} "
               f"| **{med:.3f}**{f' ({mvb}x)' if mvb else ''} "
               f"| {r['value']:.3f}{f' ({vb}x)' if vb else ''} "

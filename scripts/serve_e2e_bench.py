@@ -51,7 +51,7 @@ def main():
                                      "/root/repo/.xla_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from bench import _probe_tflops
+    from bench import DEGRADED_BF16_TFLOPS as DEGRADED, _probe_tflops
     probe_tflops, probe_invalid = _probe_tflops()
 
     from ptq4vit_tpu.configs import ptq4vit
@@ -100,7 +100,7 @@ def main():
         out["probe_bf16_tflops"] = probe_tflops
         if probe_invalid:
             out["probe_invalid"] = True
-        if probe_tflops < 40.0:
+        if probe_tflops < DEGRADED:
             out["window_degraded"] = True
     print(json.dumps(out))
 
