@@ -239,8 +239,26 @@ def torch_sequential_pipeline(params, x, cfg, quant_cfg, op_inventory,
                                      raw_logits.shape))
     target = torch.softmax(torch.from_numpy(raw_logits + SIGMA * u), -1)
 
+    # steps follow the reference's MODULE-WALK order, not dataflow order:
+    # named_modules yields qkv, proj, THEN matmul1/matmul2 (the patched
+    # MatMuls are setattr-ed after the attention's native children,
+    # utils/models.py:81-86).  Load-bearing: once proj is quantized its
+    # round() zeroes the matmuls' probe grads (differential golden
+    # ref_tinyvit_..._hessian_sequential pins this).  Re-derived here so
+    # the oracle stays independent of the repo's net_wrap helper.
+    _rank = {"qkv": 0, "proj": 1, "matmul1": 2, "matmul2": 3}
+    first, keys = {}, []
+    for i, (n, _) in enumerate(op_inventory):
+        scope, _sep, leaf = n.rpartition(".")
+        if scope.endswith("attn") and leaf in _rank:
+            keys.append((first.setdefault(scope, i), _rank[leaf]))
+        else:
+            keys.append((i, -1))
+    walk_order = [p for _, p in sorted(zip(keys, op_inventory),
+                                       key=lambda t: t[0])]
+
     qstate_t = {}
-    for name, mtype in op_inventory:
+    for name, mtype in walk_order:
         quant = make_quant(quant_cfg, mtypes, qstate_t)  # prefix only
         taps = {}
         pred = forward(params, x, cfg, taps=taps, quant=quant)
