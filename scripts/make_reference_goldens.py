@@ -708,6 +708,10 @@ def main():
     if want("sequential"):
         run_cell(TinyViT, "tinyvit", "PTQ4ViT", (8, 8), "hessian",
                  tag="sequential", sequential=True)
+    # sequential under BasePTQ/cosine: the no-grad sequential plan path
+    if want("BasePTQ_w8a8_cosine_sequential"):
+        run_cell(TinyViT, "tinyvit", "BasePTQ", (8, 8), "cosine",
+                 tag="sequential", sequential=True)
     # shifted-window Swin with odd head counts (fused-scorer head padding)
     if want("tinyswin3"):
         run_cell(TinySwin3, "tinyswin3", "PTQ4ViT", (8, 8), "hessian")

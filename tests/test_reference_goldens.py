@@ -193,16 +193,32 @@ def _eq_grid(kw):
                          for i in range(n)], dtype=torch.float64)
 
 
-def _tie_assert(curve, repo_val, cands, name, slot):
+def _tie_assert(curve, repo_val, cands, name, slot, score_at=None):
     """curve: (eq_n,) f64 reference scores with every other slot at its
     final calibrated value; repo_val must be ON the candidate grid and
-    score within TIE_TOL * range of the f64 optimum."""
+    score within TIE_TOL * range of the f64 optimum.
+
+    score_at: set for the REPO side of activation-interval slots in
+    SEQUENTIAL cells.  There the repo's candidate base is the absmax of
+    the REPO's captured quantized-upstream input, which legitimately
+    drifts vs the reference capture (an fp tie upstream sends each side
+    down its own branch — observed up to ~0.3% on tinyvit fc2), so the
+    repo pick is NOT on the reference's grid.  Instead the repo's actual
+    interval value is scored directly on the reference's f64 curve (the
+    score is smooth in the interval), and must be tie-near-optimal; a
+    loose 2% proximity to SOME candidate still guards gross divergence."""
     idx = int(torch.argmin((cands - repo_val).abs()))
-    np.testing.assert_allclose(float(cands[idx]), repo_val, rtol=1e-5,
-                               err_msg=f"{name}[{slot}]: repo interval "
-                               "is not on the reference candidate grid")
+    if score_at is None:
+        np.testing.assert_allclose(float(cands[idx]), repo_val, rtol=1e-5,
+                                   err_msg=f"{name}[{slot}]: repo interval "
+                                   "is not on the reference candidate grid")
+        gap = float(curve.max() - curve[idx])
+    else:
+        np.testing.assert_allclose(float(cands[idx]), repo_val, rtol=2e-2,
+                                   err_msg=f"{name}[{slot}]: repo interval "
+                                   "is far off the reference candidate grid")
+        gap = float(curve.max() - score_at(float(repo_val)))
     rng = float(curve.max() - curve.min())
-    gap = float(curve.max() - curve[idx])
     assert gap <= TIE_TOL * rng, \
         (f"{name}[{slot}]: repo pick idx={idx} scores {gap:.3e} below the "
          f"f64 optimum (range {rng:.3e}) — a real divergence, not a tie")
@@ -247,7 +263,7 @@ def _conv_tie_check(z, meta, name, bad, repo_flat, kw):
 
 
 def _matmul_tie_check(z, meta, name, mtype, which, bad, repo_flat, kw,
-                      repo_A):
+                      repo_A, seq=False):
     """f64 replay of PTQSLBatchingQuantMatMul's alternating head-wise
     interval search (matmul.py:483-563: head g's interval only affects
     head g, so the whole search_round x (A, B) trajectory decomposes per
@@ -305,15 +321,32 @@ def _matmul_tie_check(z, meta, name, mtype, which, bad, repo_flat, kw,
                 curve = score(q(a_g, side_a, qA)[None] @ qb_all, raw_g,
                               grad_g)
             cands = (candsA if which == "A" else candsB).reshape(-1)
-            _tie_assert(curve, fin, cands, name, (which, g, side))
+            if seq and side == "repo":
+                if which == "A":
+                    score_at = lambda v: float(score(
+                        q(a_g, torch.tensor(v, dtype=torch.float64),
+                          qA)[None] @ q(b_g, b_iv, qB)[None],
+                        raw_g, grad_g)[0])
+                else:
+                    sa = torch.tensor(side_a, dtype=torch.float64)
+                    score_at = lambda v, sa=sa: float(score(
+                        q(a_g, sa, qA)[None]
+                        @ q(b_g, torch.tensor(v, dtype=torch.float64),
+                            qB)[None], raw_g, grad_g)[0])
+            else:
+                score_at = None
+            _tie_assert(curve, fin, cands, name, (which, g, side), score_at)
 
 
-def _linear_tie_check(z, meta, name, mtype, which, repo_val, kw, repo_w):
-    """f64 replay of PTQSLBatchingQuantLinear's alternating scalar
-    (n_V=n_H=n_a=1) w/a interval search (linear.py:455-556: metric over
-    out features, mean over tokens, sum over batch).  Same side-
-    conditioning as the matmul check: the final a search ran against the
-    side's final w."""
+def _linear_tie_check(z, meta, name, mtype, which, bad, repo_flat, kw,
+                      repo_w_flat, seq=False):
+    """f64 replay of PTQSLBatchingQuantLinear's alternating blocked-w /
+    scalar-a interval search (linear.py:455-556; general n_V with
+    n_H=n_a=1: out-feature block v's w candidate only affects block v's
+    rows, and the metric reduces over the feature axis per block
+    (linear.py:470-480), so the w candidate curves decompose per V block;
+    the a search is global, conditioned on the side's final w — same
+    side-conditioning as the matmul check)."""
     w = torch.from_numpy(z[f"sd::{name}.weight"]).double()
     bias = torch.from_numpy(z[f"sd::{name}.bias"]).double() \
         if f"sd::{name}.bias" in z.files else None
@@ -321,48 +354,82 @@ def _linear_tie_check(z, meta, name, mtype, which, repo_val, kw, repo_w):
     raw = torch.from_numpy(z[f"raw::{name}::out"]).double()
     grad = (torch.from_numpy(z[f"raw::{name}::grad"]).double()
             if kw["metric"] == "hessian" else None)
-    ref_w = float(z[f"mod::{name}::w_interval"].reshape(-1)[0])
-    ref_fin = float(z[f"mod::{name}::{which}_interval"].reshape(-1)[0])
+    ref_w_flat = z[f"mod::{name}::w_interval"].astype(np.float64).reshape(-1)
+    ref_fin = z[f"mod::{name}::{which}_interval"].astype(np.float64) \
+        .reshape(-1)
     if x.dim() == 2:                       # (b, ic) -> (b, T=1, ic)
         x, raw = x[:, None], raw[:, None]
         grad = grad[:, None] if grad is not None else None
     qw = 2 ** (meta["w_bit"][mtype] - 1)
     qa = 2 ** (meta["a_bit"][mtype] - 1)
     grid = _eq_grid(kw)
-    candsW = (grid * (w.abs().max() / (qw - 0.5))).view(-1, 1, 1)
-    candsA = (grid * (x.abs().max() / (qa - 0.5))).view(-1, 1, 1, 1)
-    qw_all = (w[None] / candsW).round().clamp(-qw, qw - 1) * candsW
+    n_V = ref_w_flat.size
+    oc, ic = w.shape
+    crb = oc // n_V
+    w3 = w.view(n_V, crb, ic)
+    baseW = w3.reshape(n_V, -1).abs().amax(1) / (qw - 0.5)  # per-block init
+    baseA = x.abs().max() / (qa - 0.5)
+    candsA = (grid * baseA).view(-1, 1, 1, 1)
     qx_all = (x[None] / candsA).round().clamp(-qa, qa - 1) * candsA
 
     def q(t, iv, qmax):
         return (t / iv).round().clamp(-qmax, qmax - 1) * iv
 
-    def score(out):                                       # (P, b, T, oc)
+    def qw_full(iv_vec):           # (n_V,) intervals -> (oc, ic) quantized
+        iv = iv_vec.view(n_V, 1, 1)
+        return ((w3 / iv).round().clamp(-qw, qw - 1) * iv).view(oc, ic)
+
+    def blk(t, v):                 # feature block v of (..., oc)
+        return t[..., v * crb:(v + 1) * crb]
+
+    def score_g(out):              # global (P, b, T, oc) -> (P,)
         sim = _slot_sim(raw[None], out, kw["metric"],
                         grad[None] if grad is not None else None)
         return sim.mean(-1).sum(1)                        # mean T, sum b
 
-    def lin(xq, wq):
-        # xq: (1|P, b, T, ic); wq: (1|P, oc, ic) -> out (P, b, T, oc)
-        out = xq @ wq.transpose(-2, -1)[:, None]
+    def score_v(out_v, v):         # block-v (P, b, T, crb) -> (P,)
+        g_v = blk(grad, v)[None] if grad is not None else None
+        sim = _slot_sim(blk(raw, v)[None], out_v, kw["metric"], g_v)
+        return sim.mean(-1).sum(1)
+
+    def lin_g(xq, wq):             # (P|1, b, T, ic) @ (oc, ic)
+        out = xq @ wq.transpose(-2, -1)
         return out + bias if bias is not None else out
 
-    w_iv = (w.abs().max() / (qw - 0.5))
-    a_iv = (x.abs().max() / (qa - 0.5))
+    def lin_v(xq, wq_v, v):        # wq_v: (P|1, crb, ic) -> (P, b, T, crb)
+        out = xq @ wq_v.transpose(-2, -1)[:, None]
+        return out + blk(bias, v) if bias is not None else out
+
+    def w_curve(v, a_iv):          # block-v candidate curve at a_iv
+        cands_v = (grid * baseW[v]).view(-1, 1, 1)
+        wq_all = (w3[v][None] / cands_v).round().clamp(-qw, qw - 1) * cands_v
+        return cands_v.reshape(-1), \
+            score_v(lin_v(q(x, a_iv, qa)[None], wq_all, v), v)
+
+    w_iv = baseW.clone()
+    a_iv = baseA
     for _ in range(kw["search_round"] - 1):               # free f64 rounds
-        curveW = score(lin(q(x, a_iv, qa)[None], qw_all))
-        w_iv = candsW[curveW.argmax(), 0, 0]
-        curveA = score(lin(qx_all, q(w, w_iv, qw)[None]))
+        for v in range(n_V):
+            cands_v, curve_v = w_curve(v, a_iv)
+            w_iv[v] = cands_v[curve_v.argmax()]
+        curveA = score_g(lin_g(qx_all, qw_full(w_iv)))
         a_iv = candsA[curveA.argmax(), 0, 0, 0]
-    for side, fin in (("repo", repo_val), ("ref", ref_fin)):
+    for side, fin_flat, w_flat in (("repo", repo_flat, repo_w_flat),
+                                   ("ref", ref_fin, ref_w_flat)):
         if which == "w":
-            curve = score(lin(q(x, a_iv, qa)[None], qw_all))
-            cands = candsW.reshape(-1)
+            for v in bad:
+                cands_v, curve_v = w_curve(v, a_iv)
+                _tie_assert(curve_v, float(fin_flat[v]), cands_v, name,
+                            (which, v, side))
         else:
-            side_w = repo_w if side == "repo" else ref_w
-            curve = score(lin(qx_all, q(w, side_w, qw)[None]))
-            cands = candsA.reshape(-1)
-        _tie_assert(curve, fin, cands, name, (which, side))
+            side_w = torch.from_numpy(np.asarray(w_flat, np.float64))
+            wq_s = qw_full(side_w)
+            curve = score_g(lin_g(qx_all, wq_s))
+            score_at = (lambda u: float(score_g(
+                lin_g(q(x, u, qa)[None], wq_s))[0])) \
+                if seq and side == "repo" else None
+            _tie_assert(curve, float(fin_flat[0]), candsA.reshape(-1), name,
+                        (which, side), score_at)
 
 
 @pytest.mark.parametrize("path", _cells(), ids=lambda p: os.path.basename(p)
@@ -421,6 +488,12 @@ def test_reference_golden(path):
 
     kwc = meta["ref_kwargs"]["conv"]
     kwm = meta["ref_kwargs"]["matmul"]
+    # sequential cells: the repo's captured inputs ran through the REPO's
+    # quantized prefix, so activation-interval candidate bases legitimately
+    # drift vs the reference capture — repo-side picks are scored directly
+    # on the reference's f64 curve instead of snapped to its grid
+    # (see _tie_assert score_at)
+    seq = bool(meta.get("sequential"))
     for name, mtype in net.op_inventory:
         qp = qstate[name]
         ref = mods[name]
@@ -441,23 +514,27 @@ def test_reference_golden(path):
             else:
                 check(qp.A_interval, ref["A_interval"], name,
                       lambda b, r, n=name, t=mtype, ra=repo_A:
-                      _matmul_tie_check(z, meta, n, t, "A", b, r, kwm, ra))
+                      _matmul_tie_check(z, meta, n, t, "A", b, r, kwm, ra,
+                                        seq))
             tie_B = (lambda b, r, n=name, t=mtype, ra=repo_A:
-                     _matmul_tie_check(z, meta, n, t, "B", b, r, kwm, ra)) \
+                     _matmul_tie_check(z, meta, n, t, "B", b, r, kwm, ra,
+                                       seq)) \
                 if repo_A is not None else None   # SoS replay unsupported
             check(qp.B_interval, ref["B_interval"], name, tie_B)
         else:
-            scalar_lin = (np.asarray(qp.w_interval).size == 1
-                          and np.asarray(qp.a_interval).size == 1
-                          and refm["class"] == "PTQSLBatchingQuantLinear")
             kwl = meta["ref_kwargs"]["linear"]
-            repo_w = float(np.asarray(qp.w_interval).reshape(-1)[0])
+            # the replay handles general n_V (e.g. the qkv n_V*3 rule) but
+            # only scalar n_H/n_a — the blocked222 cell stays exact-match
+            lin_ok = (refm["class"] == "PTQSLBatchingQuantLinear"
+                      and kwl["n_H"] == 1 and kwl["n_a"] == 1
+                      and np.asarray(qp.a_interval).size == 1)
+            repo_w_flat = np.asarray(qp.w_interval, np.float64).reshape(-1)
             tie_w = (lambda b, r, n=name, t=mtype: _linear_tie_check(
-                z, meta, n, t, "w", float(r[0]), kwl, repo_w)) \
-                if scalar_lin else None
+                z, meta, n, t, "w", b, r, kwl, repo_w_flat, seq)) \
+                if lin_ok else None
             tie_a = (lambda b, r, n=name, t=mtype: _linear_tie_check(
-                z, meta, n, t, "a", float(r[0]), kwl, repo_w)) \
-                if scalar_lin else None
+                z, meta, n, t, "a", b, r, kwl, repo_w_flat, seq)) \
+                if lin_ok else None
             check(qp.w_interval, ref["w_interval"], name, tie_w)
             check(qp.a_interval, ref["a_interval"], name, tie_a)
             if "a_neg_interval" in refm:   # twin post-GELU fixed constant
