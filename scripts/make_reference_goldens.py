@@ -712,6 +712,13 @@ def main():
     if want("BasePTQ_w8a8_cosine_sequential"):
         run_cell(TinyViT, "tinyvit", "BasePTQ", (8, 8), "cosine",
                  tag="sequential", sequential=True)
+    # sequential on Swin: pins reference_wrap_order across patch-merging
+    # reduction linears and shifted-window blocks (quant_calib.py:28-55
+    # walks wrapped-module order, which on Swin interleaves reductions
+    # between stages)
+    if want("tinyswin_PTQ4ViT_w8a8_hessian_sequential"):
+        run_cell(TinySwin, "tinyswin", "PTQ4ViT", (8, 8), "hessian",
+                 tag="sequential", sequential=True)
     # shifted-window Swin with odd head counts (fused-scorer head padding)
     if want("tinyswin3"):
         run_cell(TinySwin3, "tinyswin3", "PTQ4ViT", (8, 8), "hessian")
