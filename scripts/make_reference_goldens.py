@@ -672,6 +672,7 @@ def main():
         if want(f"tinyvit_{config_name}_w{bits[0]}a{bits[1]}_{metric}"):
             run_cell(TinyViT, "tinyvit", config_name, bits, metric)
     for config_name, bits, metric in [("PTQ4ViT", (8, 8), "hessian"),
+                                      ("BasePTQ", (8, 8), "cosine"),
                                       ("PTQ4ViT", (6, 6), "hessian")]:
         if want(f"tinyswin_{config_name}_w{bits[0]}a{bits[1]}_{metric}"):
             run_cell(TinySwin, "tinyswin", config_name, bits, metric)
@@ -718,6 +719,11 @@ def main():
     # between stages)
     if want("tinyswin_PTQ4ViT_w8a8_hessian_sequential"):
         run_cell(TinySwin, "tinyswin", "PTQ4ViT", (8, 8), "hessian",
+                 tag="sequential", sequential=True)
+    # sequential at 6-bit: coarser grids shift which upstream rounding
+    # boundaries the branch-propagation hits
+    if want("tinyvit_PTQ4ViT_w6a6_hessian_sequential"):
+        run_cell(TinyViT, "tinyvit", "PTQ4ViT", (6, 6), "hessian",
                  tag="sequential", sequential=True)
     # shifted-window Swin with odd head counts (fused-scorer head padding)
     if want("tinyswin3"):
