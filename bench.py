@@ -406,8 +406,13 @@ def main():
         "search_s": round(search_s, 1),
         "target_s": round(r.target_seconds, 1),
         "sync_s": round(r.sync_seconds, 1),
-        "other_s": round(minutes * 60 - capture_s - search_s
-                         - r.target_seconds - r.sync_seconds, 1),
+        # capture is pipelined behind searches, so phase seconds can sum
+        # past wall-clock; the excess is reported as overlap, not a
+        # negative "other"
+        "other_s": round(max(0.0, minutes * 60 - capture_s - search_s
+                             - r.target_seconds - r.sync_seconds), 1),
+        "overlap_s": round(max(0.0, capture_s + search_s + r.target_seconds
+                               + r.sync_seconds - minutes * 60), 1),
         "all_minutes": [round(m, 3) for m, _, _ in runs],
         "probe_per_run": [p for p, _ in probes],
     }
