@@ -37,13 +37,18 @@ def main():
             continue
         for row in rows_from(p):
             m = row["metric"]
-            # keep the latest complete study per metric (later rows are
-            # post-lever reruns)
-            best[m] = row
+            # keep the study with the MOST warm repeats per metric (the
+            # designed variance study), tie-broken by recency — single-warm
+            # re-samples and lever A/Bs must not shadow a 3-warm median
+            n_warm = len(row.get("warm_minutes")
+                         or row["all_minutes"][1:] or row["all_minutes"])
+            prev = best.get(m)
+            if prev is None or n_warm >= prev[0]:
+                best[m] = (n_warm, row)
     print("| cell | warm runs (min) | median | best | probes |")
     print("|---|---|---|---|---|")
     for m in sorted(best):
-        r = best[m]
+        r = best[m][1]
         # bench.py reports the exact runs its median covers (crashed
         # repeats are dropped from all_minutes, so "skip entry 0" would
         # mislabel the first survivor after a run-1 crash)
