@@ -725,6 +725,16 @@ def main():
     if want("tinyvit_PTQ4ViT_w6a6_hessian_sequential"):
         run_cell(TinyViT, "tinyvit", "PTQ4ViT", (6, 6), "hessian",
                  tag="sequential", sequential=True)
+    # ablation class switch on Swin: no_softmax swaps SoS -> plain
+    # PTQSLBatchingQuantMatMul for scores@V under shifted-window geometry
+    if want("tinyswin_PTQ4ViT_w8a8_hessian_nosoftmax"):
+        run_cell(TinySwin, "tinyswin", "PTQ4ViT", (8, 8), "hessian",
+                 tag="nosoftmax", no_softmax=True)
+    # blocked linear/conv grids under a non-hessian metric (cosine reduces
+    # inside the per-block similarity instead of elementwise-then-mean)
+    if want("tinyvit_PTQ4ViT_w8a8_cosine_blocked222"):
+        run_cell(TinyViT, "tinyvit", "PTQ4ViT", (8, 8), "cosine",
+                 tag="blocked222", linear_ptq_setting=(2, 2, 2))
     # shifted-window Swin with odd head counts (fused-scorer head padding)
     if want("tinyswin3"):
         run_cell(TinySwin3, "tinyswin3", "PTQ4ViT", (8, 8), "hessian")
